@@ -1,0 +1,147 @@
+"""Content normalization for change detection.
+
+Ports the reference's two regex redaction batteries to JVM-side
+``regexp_replace`` chains (whole-stage codegen — zero Python in this path):
+
+- F7  DEFAULT_PATTERNS (12 dynamic-noise patterns → typed placeholders),
+  /root/reference/src/diff/normalizer.ts:6-67, applied :161-173;
+- F8  IGNORE_PATTERNS (17 patterns → ``[REDACTED]``),
+  /root/reference/src/diff/comparer.ts:6-34, applied :117-119;
+- F9  user ``ignorePatterns`` → ``[CUSTOM_IGNORE]`` (comparer.ts:121-130) —
+  the reference's UDF surface, here a config-driven regexp_replace chain;
+- F12 whitespace cleanup (comparer.ts:132-134);
+- F13 normalized hash = sha2(normalize(content), 256) (comparer.ts:139-142);
+- F15 content-type sniff (normalizer.ts:267-288).
+
+Pattern order is semantic (the reference applies them in array order —
+e.g. the weekday lookahead pattern depends on dates already being
+``[REDACTED]``); we preserve it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MONTHS = (
+    r"(?:jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may|jun(?:e)?|"
+    r"jul(?:y)?|aug(?:ust)?|sep(?:t(?:ember)?)?|oct(?:ober)?|nov(?:ember)?|"
+    r"dec(?:ember)?)"
+)
+_DAYS = r"(?:monday|tuesday|wednesday|thursday|friday|saturday|sunday)"
+
+# F7 — (name, java_regex, replacement), reference order (normalizer.ts:6-67).
+DEFAULT_PATTERNS: list[tuple[str, str, str]] = [
+    ("timestamps", r"\b\d{4}-\d{2}-\d{2}\b", "[DATE]"),
+    ("times", r"\b\d{2}:\d{2}:\d{2}\b", "[TIME]"),
+    ("unix_timestamps", r"\b\d{10,13}\b", "[TIMESTAMP]"),
+    (
+        "csrf_tokens",
+        r"""(?i)csrf["\s]*[:=]["\s]*["']?[^"'\s]{8,}["']?""",
+        'csrf:"[CSRF_TOKEN]"',
+    ),
+    (
+        "request_ids",
+        r"""(?i)_requestid["\s]*[:=]["\s]*["']?[^"'\s]{8,}["']?""",
+        '_requestid:"[REQUEST_ID]"',
+    ),
+    ("nonce", r'(?i)nonce="[^"]*"', 'nonce="[NONCE]"'),
+    ("data_testids", r'data-testid="[^"]*"', ""),
+    ("data_cy", r'data-cy="[^"]*"', ""),
+    (
+        "session_ids",
+        r"""(?i)session["\s]*[:=]["\s]*["']?[^"'\s]{16,}["']?""",
+        'session:"[SESSION]"',
+    ),
+    (
+        "uuids",
+        r"(?i)\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b",
+        "[UUID]",
+    ),
+    ("version_numbers", r"\bv?\d+\.\d+\.\d+(-[a-zA-Z0-9]+)?\b", "[VERSION]"),
+    ("build_numbers", r"""(?i)build["\s]*[:=]["\s]*["']?\d+["']?""", 'build:"[BUILD]"'),
+]
+
+# F8 — 17 patterns, reference order (comparer.ts:6-34), all → [REDACTED].
+IGNORE_PATTERNS: list[str] = [
+    r"\b\d{4}-\d{2}-\d{2}\b",
+    r"\b\d{2}:\d{2}:\d{2}\b",
+    r"\b\d{4}-\d{2}-\d{2}[tT ]\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?\b",
+    r"\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b",
+    r"\b\d{4}[/-]\d{1,2}[/-]\d{1,2}\b",
+    rf"(?i)\b{_DAYS}\s*{_MONTHS}\s*\d{{1,2}}(?:st|nd|rd|th)?(?:,\s*)?\s*\d{{4}}\b",
+    rf"(?i)\b{_MONTHS}\s*\d{{1,2}}(?:st|nd|rd|th)?(?:,\s*)?\s*\d{{4}}\b",
+    rf"(?i)\b\d{{1,2}}(?:st|nd|rd|th)?\s*{_MONTHS}\s*\d{{4}}\b",
+    rf"(?i)\b{_DAYS}\b\s*(?=\[REDACTED\])",
+    r"(?i)\b(?:last\s+updated|updated|published|posted|modified|generated)\s*"
+    r"[:\-–—]?\s*(?:today|yesterday|\d+\s+(?:seconds?|minutes?|hours?|"
+    r"days?|weeks?|months?|years?)\s+ago)\b",
+    r"""(?i)timestamp["\s]*[:=]["\s]*["']?\d+["']?""",
+    r"""(?i)csrf["\s]*[:=]["\s]*["'][^"']+["']""",
+    r"""(?i)_requestid["\s]*[:=]["\s]*["'][^"']+["']""",
+    r'data-testid="[^"]*"',
+    r'data-cy="[^"]*"',
+    r'nonce="[^"]*"',
+    r'style="[^"]*"',
+    r'(?i)class="[^"]*\s+(active|selected|current)\s*[^"]*"',
+    r"\b\d{10,13}\b",
+]
+
+
+def redact_default(col: Column | str) -> Column:
+    """F7: typed-placeholder redaction chain (normalizer.ts:161-173)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, repl in DEFAULT_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_ignored(col: Column | str, custom_patterns: list[str] | None = None) -> Column:
+    """F8+F9: [REDACTED] battery then user patterns → [CUSTOM_IGNORE]
+    (comparer.ts:117-130). Invalid user regexes are skipped like the
+    reference does."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in IGNORE_PATTERNS:
+        c = F.regexp_replace(c, pat, "[REDACTED]")
+    for pat in custom_patterns or []:
+        import re as _re
+
+        try:
+            _re.compile(pat)
+        except _re.error:
+            continue
+        c = F.regexp_replace(c, "(?i)" + pat, "[CUSTOM_IGNORE]")
+    return c
+
+
+def cleanup_whitespace(col: Column | str) -> Column:
+    """F12 (comparer.ts:132-134): \\s+→' ', '> <'→'><', trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"> <", "><")
+    return F.trim(c)
+
+
+def normalize_content(col: Column | str, custom_patterns: list[str] | None = None) -> Column:
+    """Full normalization used for change detection: ignore battery +
+    custom patterns + whitespace cleanup (comparer.ts:96-134 minus the
+    html-minifier step, re-specified per SURVEY.md §7.3 risk 5)."""
+    return cleanup_whitespace(redact_ignored(col, custom_patterns))
+
+
+def normalized_hash(col: Column | str, custom_patterns: list[str] | None = None) -> Column:
+    """F13: sha2(normalized content, 256) (comparer.ts:139-142)."""
+    return F.sha2(normalize_content(col, custom_patterns), 256)
+
+
+def sniff_content_type(col: Column | str) -> Column:
+    """F15 (normalizer.ts:267-288): html / json / text heuristic."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    lower = F.lower(c)
+    return (
+        F.when(
+            lower.startswith("<!doctype html") | lower.contains("<html"), "html"
+        )
+        .when(c.startswith("{") | c.startswith("["), "json")
+        .otherwise("text")
+    )
