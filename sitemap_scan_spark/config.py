@@ -1,0 +1,42 @@
+"""Crawl configuration shared by the Spark engine and the sequential oracle.
+
+Defaults mirror the reference's knobs: the 11 default i18n exclude patterns
+(/root/reference/src/backup/fetcher.ts:809-821), sitemap recursion guards
+depth ≤ 10 / ≤ 500 visited (fetcher.ts:81-82), batch-size analog
+(fetcher.ts:72-77 → round_size), per-host politeness (concurrency clamp
+fetcher.ts:1098-1099 → base_host_budget).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# fetcher.ts:810-821 — applied case-insensitively.
+DEFAULT_EXCLUDE_PATTERNS: list[str] = [
+    "^.*/fr/.*$",
+    "^.*/en/.*$",
+    "^.*/es/.*$",
+    "^.*/de/.*$",
+    "^.*/it/.*$",
+    "^.*/pt/.*$",
+    "^.*/zh/.*$",
+    "^.*/ja/.*$",
+    "^.*/ko/.*$",
+    "^.*/ar/.*$",
+    "^.*/ru/.*$",
+]
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    base_host_budget: int = 10
+    round_size: int = 10_000
+    max_depth: int = 6
+    max_rounds: int = 20
+    link_priority: float = 0.5
+    sitemap_default_priority: float = 0.5
+    exclude_patterns: tuple[str, ...] = tuple(DEFAULT_EXCLUDE_PATTERNS)
+    sitemap_max_depth: int = 10
+    sitemap_max_visited: int = 500
+    # number of salt buckets for the two-phase hot-host dequeue (1 = off)
+    salt_buckets: int = 8

@@ -1,0 +1,117 @@
+"""URL-seen dedup: exact left-anti join with a broadcast Bloom prefilter.
+
+The reference's incremental-discovery core is a set-membership filter
+(``canonicalNow.filter(url => !previousSnapshot.has(url))``,
+/root/reference/src/backup/fetcher.ts:497-505). Distributed re-expression
+(SURVEY §2.4 D3 + §4 custom technique 3):
+
+- hashes computed JVM-side (``xxhash64`` twice → classic double hashing
+  h_i = h1 + i·h2), so no string ever crosses into Python;
+- per-partition partial Bloom bitmaps built with vectorized numpy inside
+  ``mapInPandas``, OR-merged on the driver, broadcast back;
+- probe side drops definite-negatives (the common case for genuinely new
+  URLs) WITHOUT shuffling them into the join; only Bloom-positive candidates
+  go through the exact ``left_anti`` join — the correctness backstop, so
+  Bloom false positives can never drop a URL (SURVEY §7.3 risk 3).
+
+Scale note (10^10 seen URLs): a single bitmap at 10 bits/key is ~12 GB —
+too big to broadcast. The scale path is the same code over a frontier
+partitioned by ``pmod(xxhash64(url), P)`` with one bloom per partition and
+the probe routed by the same pmod (bloom-per-bucket); locally we size one
+bitmap from the observed count.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, BooleanType, StructField, StructType
+
+
+def _bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
+    n = max(n, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 7) // 8 * 8)
+    k = max(1, min(8, round(m / n * math.log(2))))
+    return m, k
+
+
+def _with_hashes(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn("_h1", F.xxhash64(F.col(col))).withColumn(
+        "_h2", F.xxhash64(F.col(col), F.lit(1))
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing, all-uint64 vectorized."""
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (u1[None, :] + i * u2[None, :]) % np.uint64(m)
+
+
+def build_bloom(seen: DataFrame, col: str, fpp: float = 0.01) -> tuple[bytes, int, int]:
+    """→ (bitmap bytes, m_bits, k). One distributed pass + driver OR-merge."""
+    n = seen.count()
+    m, k = _bloom_params(n, fpp)
+
+    schema = StructType([StructField("bits", BinaryType())])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            pos = _positions(
+                pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m
+            ).ravel()
+            np.bitwise_or.at(bits, pos >> np.uint64(3), (1 << (pos & np.uint64(7))).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = _with_hashes(seen.select(col), col).select("_h1", "_h2").mapInPandas(
+        partial, schema
+    )
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for row in partials.collect():
+        merged |= np.frombuffer(row.bits, dtype=np.uint8)
+    return merged.tobytes(), m, k
+
+
+def anti_join_with_bloom(
+    candidates: DataFrame,
+    seen: DataFrame,
+    col: str = "url_canon",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """candidates ∖ seen (on ``col``), Bloom-accelerated, exactly correct."""
+    spark = candidates.sparkSession
+    bitmap, m, k = build_bloom(seen, col, fpp)
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), k, m)
+        hit = (bits[pos >> np.uint64(3)] & (1 << (pos & np.uint64(7))).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=0))
+
+    with_flag = _with_hashes(candidates, col).withColumn(
+        "_maybe", maybe_seen("_h1", "_h2")
+    )
+    definite_new = with_flag.filter(~F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+    needs_check = with_flag.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+    checked = needs_check.join(seen.select(col), col, "left_anti")
+    return definite_new.unionByName(checked)
+
+
+def exact_anti_join(candidates: DataFrame, seen: DataFrame, col: str = "url_canon") -> DataFrame:
+    """Plain left_anti — used when seen is small or as a reference path."""
+    return candidates.join(seen.select(col), col, "left_anti")

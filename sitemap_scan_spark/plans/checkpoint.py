@@ -1,0 +1,112 @@
+"""Round checkpointing with per-partition lineage — the Iceberg-snapshot
+analog of the reference's KV resume state (``batch_progress:*``,
+``run_*``, ``sitemap_listener_cursor:*`` — SURVEY §2.9 T2/T4;
+/root/reference/src/backup/fetcher.ts:256-340).
+
+Layout::
+
+    {root}/round_0007/
+        frontier/            parquet snapshot of the FULL frontier
+        crawl_order/         this round's dequeue positions (delta)
+        url_seen/            this round's newly-seen URLs (delta)
+        fetch_log/           this round's fetch results (delta)
+        _manifest.json       committed LAST — counters, row counts,
+                             per-partition file lineage, parent round
+
+A round is visible iff its manifest exists, so a killed run leaves at most
+one invisible partial directory; resume = load the highest committed round's
+frontier and continue (SURVEY §7.3 risk 4: commit manifest last). On a real
+cluster the same layout lands on object storage / an Iceberg catalog —
+snapshot-append tables with the manifest as the atomic commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ROUND_RE = re.compile(r"^round_(\d{4})$")
+
+
+class RoundStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round_{rnd:04d}")
+
+    def committed_rounds(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            m = _ROUND_RE.match(name)
+            if m and os.path.exists(os.path.join(self.root, name, "_manifest.json")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_round(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    def commit_round(
+        self,
+        rnd: int,
+        tables: dict[str, DataFrame],
+        counters: dict,
+    ) -> dict:
+        """Write tables, then the manifest (the atomic commit marker)."""
+        d = self._dir(rnd)
+        if os.path.exists(d):  # partial leftovers from a killed run
+            shutil.rmtree(d)
+        lineage: dict[str, dict] = {}
+        for name, df in tables.items():
+            path = os.path.join(d, name)
+            df.write.mode("overwrite").parquet(path)
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            import pyarrow.parquet as pq
+
+            lineage[name] = {
+                "n_files": len(files),
+                "partitions": [
+                    {"file": f, "rows": pq.read_metadata(os.path.join(path, f)).num_rows}
+                    for f in files
+                ],
+            }
+        manifest = {
+            "round": rnd,
+            "parent_round": rnd - 1 if rnd > 0 else None,
+            "committed_at": time.time(),
+            "counters": counters,
+            "lineage": lineage,
+        }
+        tmp = os.path.join(d, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, os.path.join(d, "_manifest.json"))
+        return manifest
+
+    def read_manifest(self, rnd: int) -> dict:
+        with open(os.path.join(self._dir(rnd), "_manifest.json")) as f:
+            return json.load(f)
+
+    def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(rnd), name))
+
+    def read_deltas(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Union a delta table (crawl_order / url_seen / fetch_log) across
+        all committed rounds."""
+        paths = [
+            os.path.join(self._dir(r), name)
+            for r in self.committed_rounds()
+            if os.path.exists(os.path.join(self._dir(r), name))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)

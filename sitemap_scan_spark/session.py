@@ -29,6 +29,15 @@ def get_spark(
     bench harness can pin parallelism; on a cluster pass None and let
     spark-submit decide.
     """
+    # Make the package importable by Python workers regardless of the
+    # consumer's cwd — the local-mode analog of spark-submit --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"

@@ -1,0 +1,149 @@
+"""End-to-end parity: distributed engine == sequential oracle (CRAWL_SPEC.md).
+
+Asserts on the tiny corpus (50 hosts / ~5k pages, seed=42):
+- exact crawl order (round, rank, url_canon),
+- exact final URL-seen set (url_canon, first_seen_round, last_status),
+- byte-identical extracted text per fetched URL vs the pages.text ground
+  truth AND vs the oracle,
+- checkpoint/resume: killing after round k and resuming yields the identical
+  final state (reference analog: batch_progress resume, fetcher.ts:256-340).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from sim.genpages import generate
+from sim.oracle import run_oracle
+from sitemap_scan_spark.config import CrawlConfig
+from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+CORPUS = "/tmp/ssc_corpus_tiny"
+CFG = CrawlConfig(base_host_budget=8, round_size=400, max_depth=5, max_rounds=8)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir() -> str:
+    if not os.path.exists(os.path.join(CORPUS, "pages.parquet")):
+        generate(CORPUS, n_hosts=50, mean_pages=100, n_seeds=5, seed=42)
+    return CORPUS
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    return run_oracle(corpus_dir, CFG)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_dir):
+    workdir = "/tmp/ssc_engine_tiny"
+    shutil.rmtree(workdir, ignore_errors=True)
+    eng = CrawlEngine(
+        spark,
+        spark.read.parquet(os.path.join(corpus_dir, "pages.parquet")),
+        CFG,
+        workdir,
+    )
+    eng.run(spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet")))
+    return eng
+
+
+def test_crawl_order_exact(engine, oracle):
+    got = (
+        engine.crawl_order()
+        .toPandas()
+        .sort_values(["round", "rank"])
+        .reset_index(drop=True)
+    )
+    want = oracle.order_df().sort_values(["round", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got.astype({"round": "int64", "rank": "int64"}), want.astype({"round": "int64", "rank": "int64"})
+    )
+
+
+def test_url_seen_exact(engine, oracle):
+    got = (
+        engine.url_seen()
+        .toPandas()
+        .sort_values("url_canon")
+        .reset_index(drop=True)[["url_canon", "first_seen_round", "last_status"]]
+    )
+    want = oracle.seen_df().sort_values("url_canon").reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got.astype({"first_seen_round": "int64"}),
+        want.astype({"first_seen_round": "int64"}),
+    )
+
+
+def test_text_byte_identical(engine, oracle, spark, corpus_dir):
+    # engine-extracted text == ground-truth pages.text (same url_canon)
+    from pyspark.sql import functions as F
+
+    from sitemap_scan_spark.functions.canonicalize import canonicalize_udf
+
+    fetched = engine.fetch_log().filter(F.col("status") == "fetched")
+    pages = (
+        spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+        .withColumn("url_canon", canonicalize_udf("url"))
+        .select("url_canon", "text")
+    )
+    joined = fetched.join(pages, "url_canon", "inner")
+    n_total = joined.count()
+    n_equal = joined.filter(F.col("text_extracted") == F.col("text")).count()
+    assert n_total == fetched.count() > 0
+    assert n_equal == n_total
+
+    # and equals the oracle's per-URL text
+    want = {u: t for (_r, u, s, t) in oracle.fetch_log if s == "fetched"}
+    got = {
+        r.url_canon: r.text_extracted
+        for r in fetched.select("url_canon", "text_extracted").collect()
+    }
+    assert got == want
+
+
+def test_resume_identical(spark, corpus_dir, oracle):
+    """Run rounds 1..3, 'kill', resume to completion → identical outputs."""
+    workdir = "/tmp/ssc_engine_resume"
+    shutil.rmtree(workdir, ignore_errors=True)
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+
+    eng1 = CrawlEngine(spark, pages, CFG, workdir)
+    eng1.run(seeds, max_rounds=3)
+    assert eng1.store.latest_round() == 3
+
+    # simulate a partially-written (uncommitted) round 4 left by a kill
+    partial = os.path.join(workdir, "rounds", "round_0004")
+    os.makedirs(os.path.join(partial, "frontier"), exist_ok=True)
+
+    eng2 = CrawlEngine(spark, pages, CFG, workdir)
+    assert eng2.store.latest_round() == 3  # partial round invisible
+    eng2.run(seeds)
+
+    got = (
+        eng2.crawl_order()
+        .toPandas()
+        .sort_values(["round", "rank"])
+        .reset_index(drop=True)
+    )
+    want = oracle.order_df().sort_values(["round", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"round": "int64", "rank": "int64"}),
+        want.astype({"round": "int64", "rank": "int64"}),
+    )
+
+
+def test_manifest_lineage(engine):
+    m = engine.store.read_manifest(1)
+    assert m["round"] == 1 and m["parent_round"] == 0
+    assert m["counters"]["n_taken"] > 0
+    for t in ("frontier", "crawl_order", "url_seen", "fetch_log"):
+        assert m["lineage"][t]["n_files"] >= 1
+        assert all(p["rows"] >= 0 for p in m["lineage"][t]["partitions"])
