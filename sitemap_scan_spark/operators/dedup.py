@@ -1,0 +1,182 @@
+"""Large-scale deduplication suite for training-data pipelines.
+
+Five dedup families, all designed for the 100 TB path (the reference's only
+dedup is an exact URL set, SURVEY §2.4 D1-D4; these generalize it to
+document content):
+
+- **exact**: groupBy on a content fingerprint (one shuffle, map-side
+  partial agg);
+- **MinHash + LSH**: word-shingles → k minhashes → b bands; candidate
+  pairs come from a self-join ON band bucket (shuffle joins only bucket
+  collisions, never the full cross product), then exact Jaccard verify;
+- **SimHash**: 64-bit sign-aggregated word hashes; near-dups = identical
+  simhash (or Hamming ≤ d via rotations);
+- **n-gram Jaccard**: exact verify used standalone on candidate pairs;
+- **embedding cosine**: near-dup pairs via LSH bucketing over random
+  hyperplanes + exact cosine verify (see similarity.py).
+
+Hashing is md5-prefix based (not xxhash) where an operator is
+oracle-checked — md5 exists in both Spark and DuckDB so the DuckDB oracle
+reproduces the exact same signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import doc_fingerprint, shingle_fingerprints
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact-content group (min id wins — deterministic).
+    Output: (id_col, fingerprint, group_size)."""
+    fp = doc_fingerprint(text_col).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+        .select(id_col, "fingerprint", "group_size")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash: array<string>) — minhash_i = min over shingles of
+    md5(i || '|' || shingle) prefix. Pure JVM expressions; one narrow pass."""
+    sh = shingle_fingerprints(F.col(text_col), n=shingle_n).alias("_sh")
+    base = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = base.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing ≥1 band bucket.
+    Output: (id_a, id_b) with id_a < id_b, distinct. The join key is
+    (band_idx, band_hash) so only true bucket collisions shuffle."""
+    sig_len = signatures.select(F.size("minhash").alias("s")).first().s
+    rows_per = sig_len // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", F.slice("minhash", b * rows_per + 1, rows_per))
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    (id_a, id_b, jaccard). array_intersect/union on distinct shingles."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingle_fingerprints(F.col(text_col), n=shingle_n)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (id_a, id_b, jaccard ≥ threshold)."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, bands)
+    return jaccard_verify(df, pairs, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side and oracle-expressible:
+    word hash = first 15 hex chars of md5(word) as a 60-bit int; for each of
+    60 bit positions sum (+1/-1); simhash bit = 1 iff sum > 0. One explode +
+    one groupBy (map-side combined) — scales linearly."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col), F.explode(words).alias("w")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = base.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(60):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Documents sharing an identical simhash → (simhash, n_docs, ids)."""
+    return (
+        simhash64(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_docs") > 1)
+    )

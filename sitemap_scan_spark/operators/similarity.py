@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both over the ``embeddings(vec_id, embedding, label)`` shape:
+
+- **brute-force cosine top-k** — the exactness baseline: JVM-side
+  ``zip_with``/``aggregate`` dot products against a broadcast query vector,
+  TakeOrdered top-k. O(N·d) per query but embarrassingly parallel and
+  shuffle-free until the final top-k merge.
+- **LSH-bucketed ANN** — the 100 TB path: random-hyperplane sign bits
+  (deterministic seeded planes, Arrow-batched numpy matmul — one vectorized
+  pandas UDF, no per-row Python) bucket the corpus; queries probe only
+  their bucket (+ Hamming-1 neighbors), then exact cosine on candidates.
+  Bucketing is precomputable and storable as a partition column, so probe
+  cost is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def cosine_col(vec_col, query: Sequence[float]):
+    """JVM-side cosine similarity of an array<float|double> column against a
+    literal query vector (no Python in the plan)."""
+    q = [float(x) for x in query]
+    qnorm = float(np.sqrt(sum(x * x for x in q))) or 1.0
+    qarr = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qarr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (F.greatest(vnorm, F.lit(1e-12)) * qnorm)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k: (id, cos) ordered desc, deterministic
+    tie-break on id. TakeOrderedAndProject — no full sort."""
+    scored = df.select(
+        F.col(id_col), F.round(cosine_col(F.col(vec_col), query), 6).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``bucket: long`` — packed sign bits of dot products with
+    ``n_planes`` seeded random hyperplanes. numpy matmul over Arrow batches."""
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (m @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn("bucket", bucket_of(F.col(vec_col)))
+
+
+def ann_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    ``probe_hamming`` bit flips, exact cosine on the candidates only."""
+    q = np.asarray(list(query), dtype=np.float64)
+    planes = np.random.RandomState(seed).standard_normal((len(q), n_planes))
+    qbits = int(((q @ planes) > 0) @ (1 << np.arange(n_planes)))
+    probes = {qbits}
+    if probe_hamming >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    bucketed = hyperplane_buckets(df, len(q), n_planes, seed, vec_col)
+    cands = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
+    return cosine_topk(cands, query, k, vec_col, id_col)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket self-join (same sign signature) →
+    exact cosine ≥ threshold. The self-join key is the bucket, so only
+    collisions shuffle — the all-pairs product never materializes."""
+    b = hyperplane_buckets(df, _dim_of(df, vec_col), n_planes, seed, vec_col)
+    a_ = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b_ = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a_.join(b_, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot / (F.greatest(norm(F.col("va")), F.lit(1e-12)) * F.greatest(norm(F.col("vb")), F.lit(1e-12))),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row.d)
