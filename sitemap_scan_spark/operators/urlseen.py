@@ -55,6 +55,72 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     return (u1[None, :] + i * u2[None, :]) % np.uint64(m)
 
 
+class IncrementalBloom:
+    """A Bloom filter maintained ACROSS rounds: built once from the initial
+    frontier, then OR-updated with each round's (small) insert set — so no
+    round ever rescans the full URL-seen set to rebuild it. ``m`` is sized
+    from ``expected_total`` (the corpus-scale estimate), not the current
+    count, so the false-positive rate holds as the frontier grows."""
+
+    def __init__(self, expected_total: int, fpp: float = 0.01):
+        self.m, self.k = _bloom_params(expected_total, fpp)
+        self.bits = np.zeros(self.m // 8, dtype=np.uint8)
+
+    def update(self, df: DataFrame, col: str = "url_canon") -> None:
+        """OR-merge the hashes of ``df[col]`` into the bitmap (one job over
+        df only — never over the accumulated set)."""
+        m, k = self.m, self.k
+        schema = StructType([StructField("bits", BinaryType())])
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                pos = _positions(
+                    pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m
+                ).ravel()
+                np.bitwise_or.at(
+                    bits, pos >> np.uint64(3), (1 << (pos & np.uint64(7))).astype(np.uint8)
+                )
+            if any_rows:
+                yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+        partials = _with_hashes(df.select(col), col).select("_h1", "_h2").mapInPandas(
+            partial, schema
+        )
+        for row in partials.collect():
+            self.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+
+    def prefiltered_anti_join(
+        self, candidates: DataFrame, seen: DataFrame, col: str = "url_canon"
+    ) -> DataFrame:
+        """candidates ∖ seen: Bloom-negative rows pass immediately; only
+        Bloom-positive rows go through the exact left_anti backstop."""
+        spark = candidates.sparkSession
+        bc = spark.sparkContext.broadcast(self.bits.tobytes())
+        m, k = self.m, self.k
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            pos = _positions(h1.to_numpy(), h2.to_numpy(), k, m)
+            hit = (
+                bits[pos >> np.uint64(3)] & (1 << (pos & np.uint64(7))).astype(np.uint8)
+            ) != 0
+            return pd.Series(hit.all(axis=0))
+
+        with_flag = _with_hashes(candidates, col).withColumn(
+            "_maybe", maybe_seen("_h1", "_h2")
+        )
+        definite_new = with_flag.filter(~F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+        needs_check = with_flag.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+        checked = needs_check.join(seen.select(col), col, "left_anti")
+        return definite_new.unionByName(checked)
+
+
 def build_bloom(seen: DataFrame, col: str, fpp: float = 0.01) -> tuple[bytes, int, int]:
     """→ (bitmap bytes, m_bits, k). One distributed pass + driver OR-merge."""
     n = seen.count()

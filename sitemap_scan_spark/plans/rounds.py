@@ -36,7 +36,7 @@ from ..config import CrawlConfig
 from ..functions.canonicalize import canonicalize_udf
 from ..functions.extract import extract_links, extract_text_udf
 from ..operators.frontier import dequeue
-from ..operators.urlseen import anti_join_with_bloom, exact_anti_join
+from ..operators.urlseen import IncrementalBloom, exact_anti_join
 from ..sources.robots import parse_robots_one
 from ..sources.sitemap import expand_sitemaps
 from .checkpoint import RoundStore
@@ -61,6 +61,7 @@ class CrawlEngine:
         self.workdir = workdir
         self.store = RoundStore(os.path.join(workdir, "rounds"))
         self.use_bloom = use_bloom
+        self._bloom: IncrementalBloom | None = None
         self._prepare_pages(pages)
 
     # ------------------------------------------------------------------ setup
@@ -189,7 +190,9 @@ class CrawlEngine:
         gated = robots_gate(
             pending, self.robots_dim.select("host", "disallow", "crawl_delay")
         )
-        blocked = gated.filter(F.col("blocked")).select("url_canon")
+        blocked = (
+            gated.filter(F.col("blocked")).select("url_canon").localCheckpoint(eager=True)
+        )
         eligible = gated.filter(~F.col("blocked")).drop("blocked")
 
         # 2-3. politeness dequeue (two-phase salted window + TakeOrdered cap)
@@ -198,10 +201,17 @@ class CrawlEngine:
         ).select("url_canon", "host", "depth", "priority", "rank")
         taken = taken.localCheckpoint(eager=True)  # reused 4×; ≤ round_size rows
 
-        # 4. fetch simulation: broadcast the small taken set against pages
-        fetched = taken.join(
-            self.pages_canon.select("url_canon", "html"), "url_canon", "left"
+        # 4. fetch simulation. A plain left join would shuffle the whole
+        # pages table (a left-outer can't use the big side as broadcast
+        # build), so: broadcast-hash inner join (pages scan streams past the
+        # tiny taken set, no shuffle) + broadcast anti-join to recover
+        # misses. On Iceberg, url bloom metadata prunes the scan itself.
+        hits = self.pages_canon.select("url_canon", "html").join(
+            F.broadcast(taken.select("url_canon")), "url_canon", "inner"
         )
+        # second join is tiny-vs-tiny (≤ round_size each); AQE picks the
+        # strategy — no broadcast hint, the html payload may be wide
+        fetched = taken.join(hits, "url_canon", "left")
         have_html = fetched.filter(F.col("html").isNotNull())
         parsed = extract_links(have_html)  # (url_canon, links, redirect_to)
         enriched = (
@@ -245,15 +255,29 @@ class CrawlEngine:
             )
             .filter(F.col("depth") <= cfg.max_depth)
         )
-        anti = anti_join_with_bloom if self.use_bloom else exact_anti_join
-        new_rows = anti(cands, frontier.select("url_canon"), "url_canon").select(
+        if self.use_bloom:
+            if self._bloom is None:
+                # first round of this process (fresh run OR resume): one
+                # full-frontier pass seeds the filter; afterwards it is
+                # OR-updated with each round's small insert set only.
+                est = max(self.pages_canon.count() * 2, 1 << 16)
+                self._bloom = IncrementalBloom(expected_total=est)
+                self._bloom.update(frontier.select("url_canon"))
+            fresh = self._bloom.prefiltered_anti_join(
+                cands, frontier.select("url_canon")
+            )
+        else:
+            fresh = exact_anti_join(cands, frontier.select("url_canon"))
+        new_rows = fresh.select(
             "url_canon",
             F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
             "depth",
             "priority",
             F.lit(rnd).alias("discovered_round"),
             F.lit("pending").alias("status"),
-        )
+        ).localCheckpoint(eager=True)
+        if self._bloom is not None:
+            self._bloom.update(new_rows.select("url_canon"))
 
         # 6. frontier update: status transitions + inserts
         updates = blocked.select(
@@ -279,8 +303,11 @@ class CrawlEngine:
             F.lit(rnd).alias("round"), "url_canon", "status", "text_extracted"
         )
 
-        counters_df = enriched.groupBy("status").count().collect()
-        by_status = {r.status: r["count"] for r in counters_df}
+        # counters over localCheckpointed (already materialized) data — these
+        # jobs scan cached blocks, not the lineage
+        by_status = {
+            r.status: r["count"] for r in enriched.groupBy("status").count().collect()
+        }
         counters = {
             "round": rnd,
             "n_blocked": blocked.count(),
@@ -297,10 +324,7 @@ class CrawlEngine:
         self.store.commit_round(
             rnd,
             {
-                "frontier": frontier_next.repartition(
-                    int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
-                    "url_canon",
-                ),
+                "frontier": frontier_next,
                 "crawl_order": crawl_order,
                 "url_seen": url_seen_delta,
                 "fetch_log": fetch_log,
