@@ -97,37 +97,35 @@ def _sitemapindex(children: list[str]) -> str:
     )
 
 
-def generate(
-    out_dir: str,
-    n_hosts: int = 50,
-    mean_pages: int = 100,
-    n_seeds: int = 5,
-    hot_host: bool = False,
-    seed: int = 42,
-) -> dict[str, int]:
-    """Write pages.parquet + seeds.parquet into out_dir; return counters."""
-    rng = random.Random(seed)
-    os.makedirs(out_dir, exist_ok=True)
+def _paths_for_host(
+    hi: int, n_hosts: int, mean_pages: int, hot_host: bool, seed: int
+) -> list[str]:
+    """Deterministic per-host path list (its own RNG → parallelizable)."""
+    rng = random.Random(f"{seed}|paths|{hi}")
+    n = max(3, int(rng.gauss(mean_pages, mean_pages / 3)))
+    if hot_host and hi == 1:
+        # hot host owns ~ as many pages as all others combined (skew stress)
+        n = mean_pages * n_hosts
+    paths = ["/"]
+    for j in range(n - 1):
+        r = rng.random()
+        if r < 0.06:
+            paths.append(f"/private0/secret{j}.html")
+        elif r < 0.16:
+            paths.append(f"/{rng.choice(I18N)}/page{j}.html")
+        else:
+            paths.append(f"/page{j}.html")
+    return paths
 
-    hosts = [f"host{i:04d}.test" for i in range(n_hosts)]
-    # page paths per host (canonical serving paths)
-    host_paths: dict[str, list[str]] = {}
-    for hi, h in enumerate(hosts):
-        n = max(3, int(rng.gauss(mean_pages, mean_pages / 3)))
-        if hot_host and hi == 1:
-            # hot host owns ~ as many pages as all others combined
-            n = mean_pages * n_hosts
-        paths = ["/"]
-        for j in range(n - 1):
-            r = rng.random()
-            if r < 0.06:
-                paths.append(f"/private0/secret{j}.html")
-            elif r < 0.16:
-                paths.append(f"/{rng.choice(I18N)}/page{j}.html")
-            else:
-                paths.append(f"/page{j}.html")
-        host_paths[h] = paths
 
+def _gen_host(
+    args: tuple[int, list[str], dict[str, list[str]], int]
+) -> tuple[list[tuple[str, datetime, bytes, str, str]], dict[str, int]]:
+    """Generate all rows for one host — deterministic per-host RNG, so the
+    corpus is identical whether generated serially or in a process pool."""
+    hi, hosts, host_paths, seed = args
+    h = hosts[hi]
+    rng = random.Random(f"{seed}|host|{hi}")
     rows: list[tuple[str, datetime, bytes, str, str]] = []
     counters = {"pages": 0, "robots": 0, "sitemaps": 0, "redirects": 0}
 
@@ -135,7 +133,7 @@ def generate(
         ts = BASE_TS + timedelta(seconds=rng.randint(0, 30 * 86400))
         rows.append((url, ts, html.encode("utf-8"), extract_text_one(html), lang))
 
-    for hi, h in enumerate(hosts):
+    if True:  # (kept flat for diff clarity)
         paths = host_paths[h]
         public = [p for p in paths if not p.startswith("/private")]
 
@@ -199,7 +197,7 @@ def generate(
             hrefs: list[str] = []
             for _ in range(deg):
                 r = rng.random()
-                if r < 0.20 and n_hosts > 1:
+                if r < 0.20 and len(hosts) > 1:
                     oh = rng.choice(hosts)
                     op = rng.choice(host_paths[oh])
                     href = f"https://{oh}{op}"
@@ -220,13 +218,54 @@ def generate(
             add_row(surl, _page_html(rng, f"{h}{p}", hrefs, lang), lang)
             counters["pages"] += 1
 
-    pages = pd.DataFrame(
-        rows, columns=["url", "warc_ts", "html", "text", "lang"]
-    )
+    return rows, counters
+
+
+def generate(
+    out_dir: str,
+    n_hosts: int = 50,
+    mean_pages: int = 100,
+    n_seeds: int = 5,
+    hot_host: bool = False,
+    seed: int = 42,
+    workers: int | None = None,
+) -> dict[str, int]:
+    """Write pages.parquet + seeds.parquet into out_dir; return counters.
+
+    Per-host RNGs make the corpus byte-identical whether generated serially
+    or across a process pool (workers defaults to cpu_count for big runs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    hosts = [f"host{i:04d}.test" for i in range(n_hosts)]
+    host_paths = {
+        hosts[hi]: _paths_for_host(hi, n_hosts, mean_pages, hot_host, seed)
+        for hi in range(n_hosts)
+    }
+    tasks = [(hi, hosts, host_paths, seed) for hi in range(n_hosts)]
+    total_pages = sum(len(p) for p in host_paths.values())
+    if workers is None:
+        workers = min(os.cpu_count() or 1, 16) if total_pages > 20_000 else 1
+
+    if workers > 1:
+        from multiprocessing import Pool
+
+        with Pool(workers) as pool:
+            results = pool.map(_gen_host, tasks, chunksize=max(1, n_hosts // (workers * 4)))
+    else:
+        results = [_gen_host(t) for t in tasks]
+
+    rows: list = []
+    counters = {"pages": 0, "robots": 0, "sitemaps": 0, "redirects": 0}
+    for r, c in results:
+        rows.extend(r)
+        for k in c:
+            counters[k] += c[k]
+
+    pages = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
     # microsecond precision — Spark cannot read parquet TIMESTAMP(NANOS)
     pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us, UTC]")
     pages.to_parquet(os.path.join(out_dir, "pages.parquet"), index=False)
 
+    rng = random.Random(f"{seed}|seeds")
     seed_hosts = [hosts[i] for i in sorted(rng.sample(range(n_hosts), min(n_seeds, n_hosts)))]
     seeds = pd.DataFrame(
         {

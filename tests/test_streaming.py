@@ -1,0 +1,116 @@
+"""Structured-streaming analogs (SURVEY §2.9): resumable file-source stream,
+TTL dedup, windowed counters — driven end-to-end with availableNow triggers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sitemap_scan_spark.streaming.stream import (
+    dedup_with_ttl,
+    discovered_urls_stream,
+    run_available_now,
+    windowed_counters,
+)
+
+BASE = "/tmp/ssc_stream_test"
+
+
+@pytest.fixture()
+def dirs():
+    shutil.rmtree(BASE, ignore_errors=True)
+    d = {
+        "in": f"{BASE}/in",
+        "ckpt": f"{BASE}/ckpt",
+        "out": f"{BASE}/out",
+    }
+    for p in d.values():
+        os.makedirs(p, exist_ok=True)
+    return d
+
+
+def _write_delta(path: str, name: str, rows: list[tuple[str, int, str]]):
+    pdf = pd.DataFrame(rows, columns=["url_canon", "first_seen_round", "last_status"])
+    pdf["first_seen_round"] = pdf["first_seen_round"].astype("int32")
+    pdf.to_parquet(os.path.join(path, f"{name}.parquet"), index=False)
+
+
+def test_stream_resumes_from_checkpoint(spark, dirs):
+    """T2: a second availableNow run picks up only NEW files (offsets
+    committed in the checkpoint), mirroring batch_progress resume."""
+    _write_delta(dirs["in"], "r1", [("https://a/1", 1, "fetched"), ("https://a/2", 1, "miss")])
+    s = discovered_urls_stream(spark, dirs["in"])
+    run_available_now(s, dirs["ckpt"], dirs["out"])
+    n1 = spark.read.parquet(dirs["out"]).count()
+    assert n1 == 2
+
+    _write_delta(dirs["in"], "r2", [("https://a/3", 2, "fetched")])
+    s2 = discovered_urls_stream(spark, dirs["in"])
+    run_available_now(s2, dirs["ckpt"], dirs["out"])
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 3  # r1 NOT reprocessed
+    assert out.filter("url_canon = 'https://a/3'").count() == 1
+
+
+def test_windowed_counters_streaming(spark, dirs):
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 01:10"]
+            ).astype("datetime64[us]"),
+            "event_type": ["error", "error", "click"],
+            "value": [200.0, 10.0, 300.0],
+        }
+    )
+    ev.to_parquet(f"{dirs['in']}/ev.parquet", index=False)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(dirs["in"])
+    )
+    agg = windowed_counters(stream, window="1 hour", late="10 minutes")
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(dirs["out"])
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(dirs["out"]))
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; verify the closed
+    # 00:00 window with complete-mode semantics instead via batch equivalence
+    got = spark.read.parquet(dirs["out"])
+    batch_equiv = windowed_counters(
+        spark.read.parquet(f"{dirs['in']}"), window="1 hour", late="10 minutes"
+    )
+    # the streaming result must be a subset (closed windows) of batch result
+    assert got.exceptAll(batch_equiv).count() == 0
+
+
+def test_dedup_with_ttl_state(spark, dirs):
+    ev = pd.DataFrame(
+        {
+            "sig": ["s1", "s1", "s2", "s1"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:06", "2024-01-01 02:00"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    ev.to_parquet(f"{dirs['in']}/sig.parquet", index=False)
+    stream = spark.readStream.schema("sig string, ts timestamp").parquet(dirs["in"])
+    dd = dedup_with_ttl(stream, ["sig"], "ts", ttl="15 minutes")
+    run_available_now(dd, dirs["ckpt"], dirs["out"])
+    out = spark.read.parquet(dirs["out"])
+    sigs = [r.sig for r in out.collect()]
+    # within one micro-batch, s1 suppressed to one occurrence; s1 at 02:00 is
+    # past the watermark TTL and may legitimately reappear
+    assert sigs.count("s2") == 1
+    assert 1 <= sigs.count("s1") <= 2
+    assert out.count() <= 3
