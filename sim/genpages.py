@@ -263,7 +263,10 @@ def generate(
     pages = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
     # microsecond precision — Spark cannot read parquet TIMESTAMP(NANOS)
     pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us, UTC]")
-    pages.to_parquet(os.path.join(out_dir, "pages.parquet"), index=False)
+    pages.to_parquet(
+        os.path.join(out_dir, "pages.parquet"), index=False, row_group_size=8192
+    )  # small row groups → splittable scans (a single pandas-default row group
+    # of 1M rows would serialize every Spark read of this file)
 
     rng = random.Random(f"{seed}|seeds")
     seed_hosts = [hosts[i] for i in sorted(rng.sample(range(n_hosts), min(n_seeds, n_hosts)))]

@@ -53,6 +53,58 @@ class RoundStore:
         rounds = self.committed_rounds()
         return rounds[-1] if rounds else None
 
+    def begin_round(self, rnd: int) -> None:
+        """Clear partial leftovers from a killed run (no manifest = invisible)."""
+        d = self._dir(rnd)
+        if os.path.exists(d) and not os.path.exists(os.path.join(d, "_manifest.json")):
+            shutil.rmtree(d)
+
+    def write_table(self, spark: SparkSession, rnd: int, name: str, df: DataFrame) -> DataFrame:
+        """Write one table of an in-progress round and return it re-read —
+        the write-first pattern: materialize once, reuse from disk (cheaper
+        and more memory-safe than caching wide rows on the heap)."""
+        path = os.path.join(self._dir(rnd), name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def table_lineage(self, rnd: int, name: str) -> dict:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._dir(rnd), name)
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        return {
+            "n_files": len(files),
+            "partitions": [
+                {"file": f, "rows": pq.read_metadata(os.path.join(path, f)).num_rows}
+                for f in files
+            ],
+        }
+
+    def table_rows(self, rnd: int, name: str) -> int:
+        return sum(p["rows"] for p in self.table_lineage(rnd, name)["partitions"])
+
+    def commit_manifest(self, rnd: int, counters: dict) -> dict:
+        """Write the manifest LAST — the atomic commit marker for a round
+        whose tables were streamed out with write_table()."""
+        d = self._dir(rnd)
+        lineage = {
+            name: self.table_lineage(rnd, name)
+            for name in sorted(os.listdir(d))
+            if os.path.isdir(os.path.join(d, name))
+        }
+        manifest = {
+            "round": rnd,
+            "parent_round": rnd - 1 if rnd > 0 else None,
+            "committed_at": time.time(),
+            "counters": counters,
+            "lineage": lineage,
+        }
+        tmp = os.path.join(d, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, os.path.join(d, "_manifest.json"))
+        return manifest
+
     def commit_round(
         self,
         rnd: int,
@@ -67,18 +119,7 @@ class RoundStore:
         for name, df in tables.items():
             path = os.path.join(d, name)
             df.write.mode("overwrite").parquet(path)
-            files = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
-            import pyarrow.parquet as pq
-
-            lineage[name] = {
-                "n_files": len(files),
-                "partitions": [
-                    {"file": f, "rows": pq.read_metadata(os.path.join(path, f)).num_rows}
-                    for f in files
-                ],
-            }
+            lineage[name] = self.table_lineage(rnd, name)
         manifest = {
             "round": rnd,
             "parent_round": rnd - 1 if rnd > 0 else None,

@@ -179,9 +179,15 @@ class CrawlEngine:
 
     # ----------------------------------------------------------------- round
     def run_round(self, rnd: int) -> dict:
+        """One crawl round, WRITE-FIRST: each stage materializes its delta to
+        the round directory once and continues from the re-read — ~6 Spark
+        jobs per round, no heap-resident checkpoints, counters from parquet
+        footers. The manifest commit (last) makes the round visible."""
         cfg = self.cfg
         t0 = time.time()
-        frontier = self.store.read_table(self.spark, rnd - 1, "frontier")
+        store = self.store
+        store.begin_round(rnd)
+        frontier = store.read_table(self.spark, rnd - 1, "frontier")
         pending = frontier.filter(F.col("status") == "pending")
 
         # 1. robots gate (broadcast per-host dim, JVM exists() on prefixes)
@@ -190,27 +196,33 @@ class CrawlEngine:
         gated = robots_gate(
             pending, self.robots_dim.select("host", "disallow", "crawl_delay")
         )
-        blocked = (
-            gated.filter(F.col("blocked")).select("url_canon").localCheckpoint(eager=True)
-        )
         eligible = gated.filter(~F.col("blocked")).drop("blocked")
 
         # 2-3. politeness dequeue (two-phase salted window + TakeOrdered cap)
-        taken = dequeue(
-            eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets
-        ).select("url_canon", "host", "depth", "priority", "rank")
-        taken = taken.localCheckpoint(eager=True)  # reused 4×; ≤ round_size rows
+        # — written as this round's crawl_order delta, then re-read
+        taken = store.write_table(
+            self.spark,
+            rnd,
+            "crawl_order",
+            dequeue(eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets)
+            .select(
+                F.lit(rnd).alias("round"),
+                "rank",
+                "url_canon",
+                "host",
+                "depth",
+                "priority",
+            ),
+        )
 
         # 4. fetch simulation. A plain left join would shuffle the whole
         # pages table (a left-outer can't use the big side as broadcast
         # build), so: broadcast-hash inner join (pages scan streams past the
-        # tiny taken set, no shuffle) + broadcast anti-join to recover
-        # misses. On Iceberg, url bloom metadata prunes the scan itself.
+        # tiny taken set, no shuffle) + small left join to recover misses.
+        # On Iceberg, url bloom metadata prunes the scan itself.
         hits = self.pages_canon.select("url_canon", "html").join(
             F.broadcast(taken.select("url_canon")), "url_canon", "inner"
         )
-        # second join is tiny-vs-tiny (≤ round_size each); AQE picks the
-        # strategy — no broadcast hint, the html payload may be wide
         fetched = taken.join(hits, "url_canon", "left")
         have_html = fetched.filter(F.col("html").isNotNull())
         parsed = extract_links(have_html)  # (url_canon, links, redirect_to)
@@ -227,16 +239,51 @@ class CrawlEngine:
                 F.when(F.col("status") == "fetched", extract_text_udf("html")),
             )
         )
-        enriched = enriched.localCheckpoint(eager=True)
+        fetch_log = store.write_table(
+            self.spark,
+            rnd,
+            "fetch_log",
+            enriched.select(
+                F.lit(rnd).alias("round"),
+                "url_canon",
+                "depth",
+                "priority",
+                "status",
+                "text_extracted",
+                "links",
+                "redirect_to",
+            ),
+        )
 
-        # 5. candidate links: explode + redirect targets, canonicalize,
-        #    exclude, per-round dedup, anti-join vs the whole frontier
-        links = enriched.filter(F.col("status") == "fetched").select(
+        # 5. URL-seen delta: robots-blocked + every dequeued URL's status
+        url_seen_delta = store.write_table(
+            self.spark,
+            rnd,
+            "url_seen",
+            gated.filter(F.col("blocked"))
+            .select(
+                "url_canon",
+                F.lit(rnd).alias("first_seen_round"),
+                F.lit("robots_blocked").alias("last_status"),
+            )
+            .unionByName(
+                fetch_log.select(
+                    "url_canon",
+                    F.lit(rnd).alias("first_seen_round"),
+                    F.col("status").alias("last_status"),
+                )
+            ),
+        )
+
+        # 6. candidate links from the fetch_log delta: explode + redirect
+        # targets, canonicalize, exclude, per-round dedup, Bloom-prefiltered
+        # anti-join vs the whole frontier → this round's inserts
+        links = fetch_log.filter(F.col("status") == "fetched").select(
             F.explode("links").alias("raw"),
             (F.col("depth") + 1).alias("cand_depth"),
             F.lit(cfg.link_priority).alias("cand_priority"),
         )
-        redirects = enriched.filter(F.col("status") == "redirect").select(
+        redirects = fetch_log.filter(F.col("status") == "redirect").select(
             F.col("redirect_to").alias("raw"),
             (F.col("depth") + 1).alias("cand_depth"),
             F.col("priority").alias("cand_priority"),
@@ -259,7 +306,7 @@ class CrawlEngine:
             if self._bloom is None:
                 # first round of this process (fresh run OR resume): one
                 # full-frontier pass seeds the filter; afterwards it is
-                # OR-updated with each round's small insert set only.
+                # OR-updated with each round's insert delta only.
                 est = max(self.pages_canon.count() * 2, 1 << 16)
                 self._bloom = IncrementalBloom(expected_total=est)
                 self._bloom.update(frontier.select("url_canon"))
@@ -268,69 +315,58 @@ class CrawlEngine:
             )
         else:
             fresh = exact_anti_join(cands, frontier.select("url_canon"))
-        new_rows = fresh.select(
-            "url_canon",
-            F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
-            "depth",
-            "priority",
-            F.lit(rnd).alias("discovered_round"),
-            F.lit("pending").alias("status"),
-        ).localCheckpoint(eager=True)
+        new_rows = store.write_table(
+            self.spark,
+            rnd,
+            "frontier_inserts",
+            fresh.select(
+                "url_canon",
+                F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
+                "depth",
+                "priority",
+                F.lit(rnd).alias("discovered_round"),
+                F.lit("pending").alias("status"),
+            ),
+        )
         if self._bloom is not None:
             self._bloom.update(new_rows.select("url_canon"))
 
-        # 6. frontier update: status transitions + inserts
-        updates = blocked.select(
-            "url_canon", F.lit("robots_blocked").alias("new_status")
-        ).unionByName(enriched.select("url_canon", F.col("status").alias("new_status")))
+        # 7. frontier snapshot: status transitions (broadcast join against
+        # the small per-round update set) + inserts
+        updates = url_seen_delta.select(
+            "url_canon", F.col("last_status").alias("new_status")
+        )
         frontier_next = (
-            frontier.join(updates, "url_canon", "left")
+            frontier.join(F.broadcast(updates), "url_canon", "left")
             .withColumn("status", F.coalesce("new_status", "status"))
             .drop("new_status")
             .unionByName(new_rows)
         )
+        store.write_table(self.spark, rnd, "frontier", frontier_next)
 
-        # deltas for this round
-        crawl_order = taken.select(
-            F.lit(rnd).alias("round"), F.col("rank"), F.col("url_canon")
-        )
-        url_seen_delta = updates.select(
-            "url_canon",
-            F.lit(rnd).alias("first_seen_round"),
-            F.col("new_status").alias("last_status"),
-        )
-        fetch_log = enriched.select(
-            F.lit(rnd).alias("round"), "url_canon", "status", "text_extracted"
-        )
+        # counters from parquet footers + one tiny pyarrow scan (no Spark jobs)
+        import pyarrow.parquet as pq
 
-        # counters over localCheckpointed (already materialized) data — these
-        # jobs scan cached blocks, not the lineage
-        by_status = {
-            r.status: r["count"] for r in enriched.groupBy("status").count().collect()
-        }
+        status_tbl = pq.read_table(
+            os.path.join(store._dir(rnd), "url_seen"), columns=["last_status"]
+        )
+        import collections
+
+        by_status = collections.Counter(status_tbl["last_status"].to_pylist())
         counters = {
             "round": rnd,
-            "n_blocked": blocked.count(),
-            "n_taken": sum(by_status.values()),
+            "n_blocked": by_status.get("robots_blocked", 0),
+            "n_taken": store.table_rows(rnd, "crawl_order"),
             "n_fetched": by_status.get("fetched", 0),
             "n_miss": by_status.get("miss", 0),
             "n_redirect": by_status.get("redirect", 0),
-            "n_new": new_rows.count(),
+            "n_new": store.table_rows(rnd, "frontier_inserts"),
         }
         counters["secs"] = round(time.time() - t0, 3)
         counters["urls_per_sec"] = round(
             counters["n_taken"] / max(counters["secs"], 1e-9), 1
         )
-        self.store.commit_round(
-            rnd,
-            {
-                "frontier": frontier_next,
-                "crawl_order": crawl_order,
-                "url_seen": url_seen_delta,
-                "fetch_log": fetch_log,
-            },
-            counters,
-        )
+        store.commit_manifest(rnd, counters)
         return counters
 
     # ------------------------------------------------------------------- run
@@ -353,7 +389,7 @@ class CrawlEngine:
     def crawl_order(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "crawl_order")
         assert df is not None
-        return df.orderBy("round", "rank")
+        return df.select("round", "rank", "url_canon").orderBy("round", "rank")
 
     def url_seen(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "url_seen")
@@ -369,4 +405,4 @@ class CrawlEngine:
     def fetch_log(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "fetch_log")
         assert df is not None
-        return df
+        return df.select("round", "url_canon", "status", "text_extracted")

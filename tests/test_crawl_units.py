@@ -1,0 +1,214 @@
+"""Unit tests for crawl-engine operators (SURVEY §2 / reference spec tests).
+
+Mirrors the reference behavioral tests (src/backup/fetcher.spec.ts):
+cycle termination, listener-style incremental discovery (anti-join), robots
+parsing, politeness budgets, hot-host salted dequeue equivalence, bloom
+prefilter exactness.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sitemap_scan_spark.config import CrawlConfig
+from sitemap_scan_spark.functions.canonicalize import canonicalize_udf
+from sitemap_scan_spark.operators.frontier import dequeue
+from sitemap_scan_spark.operators.urlseen import (
+    IncrementalBloom,
+    anti_join_with_bloom,
+    exact_anti_join,
+)
+from sitemap_scan_spark.sources.robots import parse_robots_one, robots_gate
+from sitemap_scan_spark.sources.sitemap import expand_sitemaps, parse_sitemap_one
+
+
+class TestRobots:
+    TXT = """# comment
+User-agent: Googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 2.5
+
+Sitemap: https://x.test/sm.xml
+Sitemap: https://x.test/sm2.xml
+"""
+
+    def test_parse(self):
+        r = parse_robots_one(self.TXT)
+        assert r.disallow == ["/private/", "/tmp/"]  # star group only
+        assert r.crawl_delay == 2
+        assert r.sitemaps == ["https://x.test/sm.xml", "https://x.test/sm2.xml"]
+        assert r.allows("/public/a") and not r.allows("/private/x")
+
+    def test_empty_and_malformed(self):
+        assert parse_robots_one("").disallow == []
+        r = parse_robots_one("User-agent: *\nDisallow:\nCrawl-delay: abc")
+        assert r.disallow == [] and r.crawl_delay is None
+
+    def test_gate_jvm_side(self, spark):
+        frontier = spark.createDataFrame(
+            [
+                ("https://a.test/private/x", "a.test"),
+                ("https://a.test/ok", "a.test"),
+                ("https://b.test/private/x", "b.test"),  # no rules → allowed
+            ],
+            "url_canon string, host string",
+        )
+        rules = spark.createDataFrame(
+            [("a.test", ["/private/"], None)],
+            "host string, disallow array<string>, crawl_delay int",
+        )
+        got = {r.url_canon: r.blocked for r in robots_gate(frontier, rules).collect()}
+        assert got["https://a.test/private/x"] is True
+        assert got["https://a.test/ok"] is False
+        assert got["https://b.test/private/x"] is False
+
+
+class TestSitemapParse:
+    def test_urlset_with_priority(self):
+        xml = (
+            "<urlset><url><loc>https://a/1</loc><priority>0.8</priority></url>"
+            "<url><loc>https://a/2</loc></url></urlset>"
+        )
+        kind, entries = parse_sitemap_one(xml)
+        assert kind == "urlset"
+        assert entries == [("https://a/1", 0.8), ("https://a/2", 0.5)]
+
+    def test_index(self):
+        xml = "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap></sitemapindex>"
+        kind, entries = parse_sitemap_one(xml)
+        assert kind == "index" and entries[0][0] == "https://a/s1.xml"
+
+    def test_garbage(self):
+        assert parse_sitemap_one("<html>not a sitemap</html>")[0] == "other"
+
+    def test_cycle_terminates(self, spark):
+        """Mirrors fetcher.spec.ts:65-99 — A→B→A must terminate."""
+        rows = [
+            ("https://c.test/sitemap.xml", "<sitemapindex><sitemap><loc>https://c.test/a.xml</loc></sitemap></sitemapindex>"),
+            ("https://c.test/a.xml", "<sitemapindex><sitemap><loc>https://c.test/b.xml</loc></sitemap></sitemapindex>"),
+            ("https://c.test/b.xml", "<sitemapindex><sitemap><loc>https://c.test/a.xml</loc></sitemap>"
+             "<sitemap><loc>https://c.test/c.xml</loc></sitemap></sitemapindex>"),
+            ("https://c.test/c.xml", "<urlset><url><loc>https://c.test/p1</loc></url></urlset>"),
+        ]
+        pages = spark.createDataFrame(
+            [(u, x.encode()) for u, x in rows], "url_canon string, html binary"
+        )
+        locs = expand_sitemaps(
+            spark, pages, ["https://c.test/sitemap.xml"], CrawlConfig()
+        ).collect()
+        assert [r.url_canon for r in locs] == ["https://c.test/p1"]
+
+    def test_visited_cap(self, spark):
+        """≤ max_visited sitemaps per host (fetcher.ts:82)."""
+        rows = [
+            (
+                "https://d.test/sitemap.xml",
+                "<sitemapindex>"
+                + "".join(
+                    f"<sitemap><loc>https://d.test/s{i}.xml</loc></sitemap>"
+                    for i in range(10)
+                )
+                + "</sitemapindex>",
+            )
+        ] + [
+            (
+                f"https://d.test/s{i}.xml",
+                f"<urlset><url><loc>https://d.test/p{i}</loc></url></urlset>",
+            )
+            for i in range(10)
+        ]
+        pages = spark.createDataFrame(
+            [(u, x.encode()) for u, x in rows], "url_canon string, html binary"
+        )
+        cfg = CrawlConfig(sitemap_max_visited=4)  # root + 3 children
+        locs = expand_sitemaps(spark, pages, ["https://d.test/sitemap.xml"], cfg)
+        assert locs.count() == 3
+
+
+class TestDequeue:
+    def _frontier(self, spark, n_hot=500, n_cold=20):
+        rows = []
+        for i in range(n_hot):
+            rows.append((f"https://hot.test/p{i:04d}", "hot.test", 1, 0.5, 0, None))
+        for i in range(n_cold):
+            rows.append((f"https://cold.test/p{i:04d}", "cold.test", 1, 0.9, 0, 5))
+        return spark.createDataFrame(
+            rows,
+            "url_canon string, host string, depth int, priority double, "
+            "discovered_round int, crawl_delay int",
+        )
+
+    def test_budget_and_order(self, spark):
+        f = self._frontier(spark)
+        taken = dequeue(f, base_budget=10, round_size=1000, salt_buckets=1).collect()
+        by_host = {}
+        for r in taken:
+            by_host.setdefault(r.host, []).append(r)
+        assert len(by_host["hot.test"]) == 10
+        # crawl_delay 5 → budget max(1, 10//5) = 2
+        assert len(by_host["cold.test"]) == 2
+        # global rank follows (priority desc, ...): cold (0.9) before hot (0.5)
+        ranks = {r.url_canon: r.rank for r in taken}
+        assert ranks["https://cold.test/p0000"] == 1
+        assert ranks["https://hot.test/p0000"] == 3
+
+    def test_salted_equals_unsalted(self, spark):
+        """Two-phase salted dequeue is semantics-preserving (SURVEY §4.1)."""
+        f = self._frontier(spark, n_hot=2000)
+        a = dequeue(f, 25, 500, salt_buckets=1).select("url_canon", "rank")
+        b = dequeue(f, 25, 500, salt_buckets=16).select("url_canon", "rank")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_round_size_cap(self, spark):
+        f = self._frontier(spark, n_hot=300, n_cold=5)
+        taken = dequeue(f, base_budget=1000, round_size=50, salt_buckets=4)
+        assert taken.count() == 50
+        ranks = sorted(r.rank for r in taken.collect())
+        assert ranks == list(range(1, 51))
+
+
+class TestBloom:
+    def test_prefilter_exact(self, spark):
+        seen = spark.range(0, 5000).select(
+            F.concat(F.lit("https://s.test/p"), F.col("id")).alias("url_canon")
+        )
+        cands = spark.range(4000, 9000).select(
+            F.concat(F.lit("https://s.test/p"), F.col("id")).alias("url_canon")
+        )
+        got = anti_join_with_bloom(cands, seen).collect()
+        assert sorted(r.url_canon for r in got) == sorted(
+            f"https://s.test/p{i}" for i in range(5000, 9000)
+        )
+
+    def test_incremental_matches_exact(self, spark):
+        seen1 = spark.range(0, 1000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url_canon")
+        )
+        seen2 = spark.range(1000, 2000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url_canon")
+        )
+        bloom = IncrementalBloom(expected_total=10000)
+        bloom.update(seen1)
+        bloom.update(seen2)
+        all_seen = seen1.union(seen2)
+        cands = spark.range(1500, 3000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url_canon")
+        )
+        got = bloom.prefiltered_anti_join(cands, all_seen)
+        want = exact_anti_join(cands, all_seen)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+class TestCanonicalizeUdfNulls:
+    def test_invalid_inputs_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("https://ok.test/a",), ("::bad::",), (None,), ("mailto:x@y",)], ["u"]
+        ).select(canonicalize_udf("u").alias("c"))
+        vals = [r.c for r in df.collect()]
+        assert sorted(v for v in vals if v) == ["https://ok.test/a"]

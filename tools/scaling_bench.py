@@ -38,7 +38,20 @@ def run_crawl(cores: int, rounds: int, tag: str) -> dict:
         base_host_budget=300, round_size=200_000, max_depth=6, max_rounds=rounds
     )
     pages = spark.read.parquet(os.path.join(CORPUS, "pages.parquet"))
-    seeds = spark.read.parquet(os.path.join(CORPUS, "seeds.parquet"))
+    # seed EVERY host so round 1 is a full-width dequeue (~budget × hosts
+    # URLs) — steady-state throughput, not discovery ramp-up
+    from pyspark.sql import functions as F
+
+    seeds = (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/:?#]+)", 1).alias("h")
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("https://"), F.lower("h"), F.lit("/")).alias("seed_url"),
+            F.lit(0.7).alias("priority"),
+        )
+    )
     eng = CrawlEngine(spark, pages, cfg, workdir)  # prep outside timing
     t0 = time.time()
     stats = eng.run(seeds)
