@@ -153,6 +153,23 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_series(urls)
 
 
+@pandas_udf(StringType())
+def resolve_canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    """urljoin(base, href) → canonicalize, vectorized. Absolute http(s)
+    hrefs (the majority after sitemap expansion) skip the per-row urljoin."""
+    from urllib.parse import urljoin
+
+    h = href.astype("string")
+    is_abs = h.str.match(r"(?i)https?://", na=False)
+    resolved = h.copy()
+    rel = ~is_abs & h.notna() & base.notna()
+    if rel.any():
+        resolved.loc[rel] = [
+            urljoin(b, x) for b, x in zip(base[rel], h[rel])
+        ]
+    return canonicalize_series(resolved)
+
+
 def url_hash_col(col: Column | str) -> Column:
     """16-hex-char URL key: substring(sha2(url, 256), 1, 16) — JVM-side,
     byte-identical to the reference's SHA-256-prefix key

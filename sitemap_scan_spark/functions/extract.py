@@ -138,3 +138,48 @@ def extract_links(df: DataFrame, html_col: str = "html", url_col: str = "url_can
 def with_extracted_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Append the byte-identical ``text_extracted`` column."""
     return df.withColumn("text_extracted", extract_text_udf(F.col(html_col)))
+
+
+# --- JVM-side twins (whole-stage codegen, zero Python) ------------------------
+#
+# In local mode every pandas-UDF stage runs JVM task threads AND python
+# workers on the same cores (2× oversubscription); on clusters it doubles
+# the memory footprint per slot. These twins express the exact same regex
+# batteries with Java regex so the hot path never leaves Tungsten. Java's
+# \s is ASCII-only while Python's is Unicode-aware — byte-identity is
+# asserted against the scalar extractor in tests (our corpus is UTF-8 with
+# ASCII whitespace; flip CrawlConfig.jvm_extraction for exotic corpora).
+
+_JVM_HREF_PATTERN = r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"']+)["']"""
+_JVM_REDIRECT_PATTERN = (
+    r"""(?i)<meta\s+http-equiv=["']refresh["']\s+content=["']\d+;\s*url=([^"']+)["']"""
+)
+
+
+def html_str_col(html_col) -> "F.Column":
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return c.cast("string")
+
+
+def extract_text_col(html_col) -> "F.Column":
+    """JVM twin of :func:`extract_text_one` — same battery, same order
+    (comparer.ts:209-216)."""
+    t = html_str_col(html_col)
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"<!--[^>]*-->", "")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def extract_links_col(html_col) -> "F.Column":
+    """All raw <a href> values (array<string>, unresolved) — JVM regex."""
+    return F.regexp_extract_all(html_str_col(html_col), F.lit(_JVM_HREF_PATTERN), 1)
+
+
+def extract_redirect_col(html_col) -> "F.Column":
+    """Raw meta-refresh target or NULL — JVM regex."""
+    return F.nullif(
+        F.regexp_extract(html_str_col(html_col), _JVM_REDIRECT_PATTERN, 1), F.lit("")
+    )

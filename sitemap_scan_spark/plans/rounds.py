@@ -33,8 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.canonicalize import canonicalize_udf
-from ..functions.extract import extract_links, extract_text_udf
+from ..functions.canonicalize import canonicalize_udf, resolve_canonicalize_udf
+from ..functions.extract import (
+    extract_links_col,
+    extract_redirect_col,
+    extract_text_col,
+)
 from ..operators.frontier import dequeue
 from ..operators.urlseen import IncrementalBloom, exact_anti_join
 from ..sources.robots import parse_robots_one
@@ -224,10 +228,16 @@ class CrawlEngine:
             F.broadcast(taken.select("url_canon")), "url_canon", "inner"
         )
         fetched = taken.join(hits, "url_canon", "left")
-        have_html = fetched.filter(F.col("html").isNotNull())
-        parsed = extract_links(have_html)  # (url_canon, links, redirect_to)
+        # parse entirely JVM-side (extract_text_col/extract_links_col are
+        # whole-stage-codegen regex twins of the pandas extractors — in
+        # local mode a pandas-UDF here would oversubscribe every core with
+        # a python worker; byte-identity is covered by the parity suite)
         enriched = (
-            fetched.join(parsed, "url_canon", "left")
+            fetched.withColumn(
+                "links",
+                F.when(F.col("html").isNotNull(), extract_links_col("html")),
+            )
+            .withColumn("redirect_to", extract_redirect_col("html"))
             .withColumn(
                 "status",
                 F.when(F.col("html").isNull(), "miss")
@@ -236,7 +246,7 @@ class CrawlEngine:
             )
             .withColumn(
                 "text_extracted",
-                F.when(F.col("status") == "fetched", extract_text_udf("html")),
+                F.when(F.col("status") == "fetched", extract_text_col("html")),
             )
         )
         fetch_log = store.write_table(
@@ -279,18 +289,24 @@ class CrawlEngine:
         # targets, canonicalize, exclude, per-round dedup, Bloom-prefiltered
         # anti-join vs the whole frontier → this round's inserts
         links = fetch_log.filter(F.col("status") == "fetched").select(
+            F.col("url_canon").alias("base"),
             F.explode("links").alias("raw"),
             (F.col("depth") + 1).alias("cand_depth"),
             F.lit(cfg.link_priority).alias("cand_priority"),
         )
         redirects = fetch_log.filter(F.col("status") == "redirect").select(
+            F.col("url_canon").alias("base"),
             F.col("redirect_to").alias("raw"),
             (F.col("depth") + 1).alias("cand_depth"),
             F.col("priority").alias("cand_priority"),
         )
         cands = (
             links.unionByName(redirects)
-            .withColumn("url_canon", canonicalize_udf("raw"))
+            .select(
+                resolve_canonicalize_udf("base", "raw").alias("url_canon"),
+                "cand_depth",
+                "cand_priority",
+            )
             .filter(F.col("url_canon").isNotNull())
         )
         cands = (

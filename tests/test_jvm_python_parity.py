@@ -1,0 +1,82 @@
+"""JVM regex twins must byte-match the Python extractors (the engine hot
+path runs the JVM versions; the spec/oracle run Python re)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sitemap_scan_spark.functions.extract import (
+    extract_links_col,
+    extract_links_one,
+    extract_redirect_col,
+    extract_redirect_one,
+    extract_text_col,
+    extract_text_one,
+)
+
+CASES = [
+    "<html><head><script>var a='<p>x</p>';\nmore</script><style>.a{}</style>"
+    "</head><body><!-- c --><!-- keeps > tail --><h1>T</h1><p>a  b</p></body></html>",
+    "",
+    "plain text no tags",
+    "<SCRIPT TYPE='x'>UPPER</SCRIPT>visible<STYLE>s</STYLE>",
+    "<p>a</p>\n\t<p>b</p>  trailing  ",
+    '<a href="/x">l</a><a class="c" HREF=\'y.html\'>m</a><a href="https://e.com/z#f">n</a>',
+    '<meta http-equiv="refresh" content="0; url=/new"><p>moved</p>',
+    "<div>unclosed <span>tag",
+    "<!--[if IE]>cond<![endif]-->after",
+    "a < b > c & d",
+    "<script>nested <script> weird</script>tail",
+]
+
+
+def test_text_extraction_jvm_matches_python(spark):
+    df = spark.createDataFrame([(c.encode(),) for c in CASES], "html binary")
+    got = [r.t for r in df.select(extract_text_col("html").alias("t")).collect()]
+    want = [extract_text_one(c) for c in CASES]
+    assert sorted(got) == sorted(want)
+
+
+def test_links_jvm_matches_python(spark):
+    df = spark.createDataFrame([(c.encode(),) for c in CASES], "html binary")
+    got = sorted(
+        tuple(r.l or []) for r in df.select(extract_links_col("html").alias("l")).collect()
+    )
+    # python extractor resolves against base; compare raw hrefs instead
+    import re
+
+    raw = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["']""", re.I)
+    want = sorted(tuple(raw.findall(c)) for c in CASES)
+    assert got == want
+
+
+def test_redirect_jvm_matches_python(spark):
+    df = spark.createDataFrame([(c.encode(),) for c in CASES], "html binary")
+    got = sorted(
+        (r.r or "") for r in df.select(extract_redirect_col("html").alias("r")).collect()
+    )
+    want = sorted((extract_redirect_one(c) or "") for c in CASES)
+    assert got == want
+
+
+def test_resolve_canonicalize_udf(spark):
+    from sitemap_scan_spark.functions.canonicalize import (
+        canonicalize_one,
+        resolve_canonicalize_udf,
+    )
+    from urllib.parse import urljoin
+
+    rows = [
+        ("https://a.test/dir/page", "other.html"),
+        ("https://a.test/dir/page", "/root.html"),
+        ("https://a.test/dir/page", "HTTPS://B.TEST/x#f"),
+        ("https://a.test/dir/page", "../up.html"),
+        ("https://a.test/dir/page", "mailto:x@y"),
+    ]
+    df = spark.createDataFrame(rows, "base string, href string").select(
+        "base", "href", resolve_canonicalize_udf("base", "href").alias("c")
+    )
+    got = {(r.base, r.href): r.c for r in df.collect()}
+    for b, h in rows:
+        assert got[(b, h)] == canonicalize_one(urljoin(b, h)), (b, h)
