@@ -38,5 +38,9 @@ class CrawlConfig:
     exclude_patterns: tuple[str, ...] = tuple(DEFAULT_EXCLUDE_PATTERNS)
     sitemap_max_depth: int = 10
     sitemap_max_visited: int = 500
+    # URL shape of sitemap documents — expansion pre-filters the pages scan
+    # to this subset ONCE (cached) instead of rescanning the full corpus at
+    # every recursion level
+    sitemap_url_pattern: str = r"(?i)\.xml$"
     # number of salt buckets for the two-phase hot-host dequeue (1 = off)
     salt_buckets: int = 8

@@ -25,6 +25,55 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def include_filter(
+    df: DataFrame, patterns: list[str], col: str = "url_canon"
+) -> DataFrame:
+    """P2 (``filterUrlsByPattern``, src/backup/sitemap.ts:186-197): keep URLs
+    matching ANY pattern; ``*`` is a glob wildcard (→ ``.*``), everything
+    else regex-escaped like the reference's passthrough. One alternation
+    rlike — a single JVM regex pass."""
+    if not patterns:
+        return df
+    import re as _re
+
+    parts = []
+    for p in patterns:
+        parts.append(".*".join(_re.escape(seg) for seg in p.split("*")))
+    return df.filter(F.col(col).rlike("(?i)(" + "|".join(parts) + ")"))
+
+
+def revisit_batch(
+    snapshot: DataFrame,
+    cursor: int,
+    batch_size: int,
+    col: str = "url_canon",
+) -> tuple[DataFrame, int, int]:
+    """W9 (``getSitemapListenerBatch``, fetcher.ts:507-559): rolling
+    wrap-around recheck over the sorted canonical snapshot —
+    rows [cursor, cursor+batch) mod total, new cursor wraps to 0.
+
+    Returns (batch_df, new_cursor, total). The global row_number is bounded
+    by a pre-filter in the wrap-free case; at 10^10 scale the snapshot
+    carries a persisted ``seq`` column instead (assigned once at snapshot
+    build), making this a pure range filter."""
+    total = snapshot.count()
+    if total == 0:
+        return snapshot, 0, 0
+    cursor = cursor % total
+    end = cursor + batch_size
+    w = Window.orderBy(F.col(col).asc())
+    numbered = snapshot.withColumn("_rn", F.row_number().over(w) - 1)
+    if end <= total:
+        batch = numbered.filter((F.col("_rn") >= cursor) & (F.col("_rn") < end))
+        new_cursor = end % total
+    else:  # wrap
+        batch = numbered.filter(
+            (F.col("_rn") >= cursor) | (F.col("_rn") < end - total)
+        )
+        new_cursor = end - total
+    return batch.drop("_rn"), new_cursor, total
+
+
 def order_key() -> list[Column]:
     return [
         F.col("priority").desc(),
@@ -73,10 +122,46 @@ def dequeue(
         .drop("_r2", "_budget")
     )
 
-    # Global cap: TakeOrdered (partial per-partition sort + merge of the
-    # top round_size), then rank over the ≤ round_size taken rows — the
-    # single-partition window is bounded by round_size, never by frontier
-    # size, so it stays O(round_size) at any scale.
-    taken = survivors.orderBy(*order_key()).limit(round_size)
-    w_rank = Window.orderBy(*order_key())
-    return taken.withColumn("rank", F.row_number().over(w_rank))
+    # Global rank + cap WITHOUT a single-partition merge (the naive
+    # Window.orderBy(global) funnels every survivor through ONE task):
+    # 1. range-repartition on the order key (parallel total sort),
+    # 2. per-range-bucket row_number (parallel windows),
+    # 3. global rank = local rank + broadcast cumulative bucket offsets
+    #    (one tiny count job) — contiguous, deterministic, never serial.
+    spark = survivors.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = survivors.repartitionByRange(n_buckets, *order_key()).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    bucketed = bucketed.persist()
+    sizes = {
+        r._bucket: r["count"]
+        for r in bucketed.groupBy("_bucket").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_bucket"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w_local = Window.partitionBy("_bucket").orderBy(*order_key())
+    ranked = (
+        bucketed.withColumn(
+            "rank", (F.row_number().over(w_local) + offset_expr).cast("int")
+        )
+        .filter(F.col("rank") <= round_size)
+        .drop("_bucket")
+    )
+    # expose the cached intermediate so the caller can unpersist after
+    # materializing (at most one round's survivors ever sit in cache)
+    ranked._ssc_persisted = bucketed
+    return ranked

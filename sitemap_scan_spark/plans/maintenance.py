@@ -1,0 +1,78 @@
+"""Table maintenance: retention expiry + cascading delete + reset.
+
+Re-expresses the reference's storage upkeep as snapshot/table operations:
+
+- K5 retention cleanup (``cleanupOldBackups``, fetcher.ts:1440-1481;
+  storage.ts:141-174): drop round snapshots older than a retention horizon —
+  the Iceberg ``expire_snapshots`` analog (partition-drop, no row rewrites).
+- K6 cascading site delete (``deleteSiteData``, site-data.ts:41-86): remove
+  every row of one host across all engine tables.
+- reset (``/api/backup/reset``, index.ts:337-345): clear all resume state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import RoundStore
+
+
+def expire_rounds(store: RoundStore, keep_last: int) -> list[int]:
+    """K5: drop the delta directories of all but the newest ``keep_last``
+    committed rounds, keeping the latest frontier snapshot intact (whole-
+    directory drops — the partition-drop fast path, no data rewritten).
+    Returns the expired round numbers."""
+    rounds = store.committed_rounds()
+    expire = rounds[:-keep_last] if keep_last > 0 else rounds
+    latest = rounds[-1] if rounds else None
+    expired = []
+    for r in expire:
+        if r == latest or r == 0:
+            continue  # never drop the resume point or the initial frontier
+        d = store._dir(r)
+        for name in ("crawl_order", "fetch_log", "url_seen", "frontier_inserts", "frontier"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        expired.append(r)
+    return expired
+
+
+def delete_host(
+    spark: SparkSession, store: RoundStore, host: str
+) -> dict[str, int]:
+    """K6: cascade-delete one host from the latest frontier snapshot and
+    all surviving deltas (DELETE WHERE host = x, rewritten per table)."""
+    removed: dict[str, int] = {}
+    latest = store.latest_round()
+    if latest is None:
+        return removed
+    host_of = F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1)
+    for rnd in store.committed_rounds():
+        d = store._dir(rnd)
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if not os.path.isdir(p):
+                continue
+            df = spark.read.parquet(p)
+            if "url_canon" not in df.columns:
+                continue
+            keep = df.filter(host_of != host)
+            n = df.count() - keep.count()
+            if n > 0:
+                tmp = p + "__rewrite"
+                keep.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(p)
+                os.rename(tmp, p)
+                removed[f"round_{rnd:04d}/{name}"] = n
+    return removed
+
+
+def reset(store: RoundStore) -> None:
+    """Clear ALL resume state (fetcher.ts:729-745 analog)."""
+    shutil.rmtree(store.root, ignore_errors=True)
+    os.makedirs(store.root, exist_ok=True)

@@ -178,7 +178,9 @@ class CrawlEngine:
             )
         )
         n = frontier.count()
-        self.store.commit_round(0, {"frontier": frontier}, {"frontier_size": n})
+        self.store.commit_round(
+            0, {"frontier": frontier}, {"frontier_size": n, "n_pending_after": n}
+        )
         return {"frontier_size": n}
 
     # ----------------------------------------------------------------- round
@@ -189,6 +191,15 @@ class CrawlEngine:
         footers. The manifest commit (last) makes the round visible."""
         cfg = self.cfg
         t0 = time.time()
+        _tm = [time.time()]
+        _timing = os.environ.get("SSC_TIMING") == "1"
+
+        def _mark(label: str) -> None:
+            if _timing:
+                now = time.time()
+                print(f"[timing r{rnd}] {label}: {now - _tm[0]:.2f}s", flush=True)
+                _tm[0] = now
+
         store = self.store
         store.begin_round(rnd)
         frontier = store.read_table(self.spark, rnd - 1, "frontier")
@@ -204,12 +215,12 @@ class CrawlEngine:
 
         # 2-3. politeness dequeue (two-phase salted window + TakeOrdered cap)
         # — written as this round's crawl_order delta, then re-read
+        dq = dequeue(eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets)
         taken = store.write_table(
             self.spark,
             rnd,
             "crawl_order",
-            dequeue(eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets)
-            .select(
+            dq.select(
                 F.lit(rnd).alias("round"),
                 "rank",
                 "url_canon",
@@ -218,6 +229,9 @@ class CrawlEngine:
                 "priority",
             ),
         )
+        if hasattr(dq, "_ssc_persisted"):
+            dq._ssc_persisted.unpersist()
+        _mark("dequeue+write crawl_order")
 
         # 4. fetch simulation. A plain left join would shuffle the whole
         # pages table (a left-outer can't use the big side as broadcast
@@ -264,6 +278,7 @@ class CrawlEngine:
                 "redirect_to",
             ),
         )
+        _mark("fetch+parse+write fetch_log")
 
         # 5. URL-seen delta: robots-blocked + every dequeued URL's status
         url_seen_delta = store.write_table(
@@ -284,6 +299,7 @@ class CrawlEngine:
                 )
             ),
         )
+        _mark("write url_seen")
 
         # 6. candidate links from the fetch_log delta: explode + redirect
         # targets, canonicalize, exclude, per-round dedup, Bloom-prefiltered
@@ -346,6 +362,7 @@ class CrawlEngine:
         )
         if self._bloom is not None:
             self._bloom.update(new_rows.select("url_canon"))
+        _mark("candidates+anti-join+write inserts+bloom")
 
         # 7. frontier snapshot: status transitions (broadcast join against
         # the small per-round update set) + inserts
@@ -359,6 +376,7 @@ class CrawlEngine:
             .unionByName(new_rows)
         )
         store.write_table(self.spark, rnd, "frontier", frontier_next)
+        _mark("write frontier snapshot")
 
         # counters from parquet footers + one tiny pyarrow scan (no Spark jobs)
         import pyarrow.parquet as pq
@@ -378,11 +396,19 @@ class CrawlEngine:
             "n_redirect": by_status.get("redirect", 0),
             "n_new": store.table_rows(rnd, "frontier_inserts"),
         }
+        # pending is tracked arithmetically so run() never rescans the
+        # frontier just to decide termination
+        prev_pending = store.read_manifest(rnd - 1)["counters"].get("n_pending_after")
+        if prev_pending is not None:
+            counters["n_pending_after"] = (
+                prev_pending - counters["n_taken"] - counters["n_blocked"] + counters["n_new"]
+            )
         counters["secs"] = round(time.time() - t0, 3)
         counters["urls_per_sec"] = round(
             counters["n_taken"] / max(counters["secs"], 1e-9), 1
         )
         store.commit_manifest(rnd, counters)
+        _mark("counters+manifest")
         return counters
 
     # ------------------------------------------------------------------- run
@@ -395,11 +421,45 @@ class CrawlEngine:
             self.init_frontier(seeds)
             latest = 0
         for rnd in range(latest + 1, max_rounds + 1):
-            frontier = self.store.read_table(self.spark, rnd - 1, "frontier")
-            if frontier.filter(F.col("status") == "pending").isEmpty():
+            prev = self.store.read_manifest(rnd - 1)["counters"].get("n_pending_after")
+            if prev is not None:
+                if prev <= 0:
+                    break
+            elif (
+                self.store.read_table(self.spark, rnd - 1, "frontier")
+                .filter(F.col("status") == "pending")
+                .isEmpty()
+            ):
                 break
             stats.append(self.run_round(rnd))
         return stats
+
+    # ------------------------------------------------------------------- api
+    def progress(self) -> dict:
+        """3.2 analog of POST /api/backup/progress (index.ts:330-335):
+        latest committed round's counters + totals."""
+        latest = self.store.latest_round()
+        if latest is None:
+            return {"round": None, "status": "not_started"}
+        m = self.store.read_manifest(latest)
+        pending = (
+            self.store.read_table(self.spark, latest, "frontier")
+            .filter(F.col("status") == "pending")
+            .count()
+        )
+        return {
+            "round": latest,
+            "counters": m["counters"],
+            "pending": pending,
+            "has_more": pending > 0,
+        }
+
+    def reset(self) -> None:
+        """3.2 analog of POST /api/backup/reset (fetcher.ts:729-745)."""
+        from .maintenance import reset as _reset
+
+        _reset(self.store)
+        self._bloom = None
 
     # --------------------------------------------------------------- outputs
     def crawl_order(self) -> DataFrame:

@@ -123,6 +123,15 @@ def expand_sitemaps(
     if not roots:
         return spark.createDataFrame([], "url_canon string, priority double")
 
+    # one pass over the corpus to isolate sitemap-shaped URLs; every
+    # recursion level then joins against this small cached subset instead of
+    # rescanning 100 TB of pages per level
+    sm_pages = (
+        pages_canon.filter(F.col("url_canon").rlike(cfg.sitemap_url_pattern))
+        .select("url_canon", "html")
+        .persist()
+    )
+
     to_visit = spark.createDataFrame([(u,) for u in roots], "url_canon string")
     visited = spark.createDataFrame([], "url_canon string")
     visited_count: dict[str, int] = {}
@@ -147,7 +156,7 @@ def expand_sitemaps(
         batch = spark.createDataFrame([(u,) for u in keep], "url_canon string")
         visited = visited.union(batch).distinct()
 
-        fetched = batch.join(pages_canon, "url_canon", "inner").select(
+        fetched = batch.join(sm_pages, "url_canon", "inner").select(
             "url_canon", "html"
         )
         parsed = fetched.mapInPandas(
@@ -182,9 +191,14 @@ def expand_sitemaps(
         to_visit = children
 
     if not results:
+        sm_pages.unpersist()
         return spark.createDataFrame([], "url_canon string, priority double")
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    # dedup locs across sitemaps keeping max priority (D7 + D1 semantics)
-    return out.groupBy("url_canon").agg(F.max("priority").alias("priority"))
+    # dedup locs across sitemaps keeping max priority (D7 + D1 semantics);
+    # materialize before unpersisting the cached sitemap subset
+    final = out.groupBy("url_canon").agg(F.max("priority").alias("priority"))
+    final = final.localCheckpoint(eager=True)
+    sm_pages.unpersist()
+    return final

@@ -1,0 +1,246 @@
+"""Tests: change detection (diffing), scheduler, maintenance, structure
+metrics, include filter, rolling recheck cursor, engine progress/reset."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from sitemap_scan_spark.operators.frontier import include_filter, revisit_batch
+from sitemap_scan_spark.plans.scheduler import Job, JobQueue, matches_cron
+
+
+@pytest.fixture(scope="module")
+def fetch_log(spark):
+    rows = [
+        # url, round, status, text
+        ("https://a/1", 1, "fetched", "hello world stable content here"),
+        ("https://a/1", 2, "fetched", "hello world stable content here"),
+        ("https://a/1", 3, "fetched", "hello world CHANGED content here indeed"),
+        ("https://a/2", 1, "fetched", "page two version one"),
+        ("https://a/2", 3, "fetched", "page two version two plus extra"),
+        ("https://a/3", 2, "miss", None),
+        # date-churn only → normalized-equal (no change)
+        ("https://a/4", 1, "fetched", "updated 2024-01-01 body"),
+        ("https://a/4", 2, "fetched", "updated 2025-12-31 body"),
+    ]
+    return spark.createDataFrame(
+        rows, "url_canon string, round int, status string, text_extracted string"
+    )
+
+
+class TestDiffing:
+    def test_round_pair_diff(self, fetch_log):
+        from sitemap_scan_spark.plans.diffing import round_pair_diff
+
+        d = {r.url_canon: r for r in round_pair_diff(fetch_log, 1, 2).collect()}
+        assert d["https://a/1"].changed is False
+        assert d["https://a/4"].changed is False  # date churn normalized away
+        assert "https://a/2" not in d  # not fetched in round 2
+
+    def test_history_lag_flags(self, fetch_log):
+        from sitemap_scan_spark.plans.diffing import url_history_flags
+
+        h = {
+            (r.url_canon, r.round): r.has_changes
+            for r in url_history_flags(fetch_log).collect()
+        }
+        assert h[("https://a/1", 1)] is False  # first observation
+        assert h[("https://a/1", 2)] is False
+        assert h[("https://a/1", 3)] is True
+        assert h[("https://a/2", 3)] is True
+
+    def test_change_magnitude(self, fetch_log, spark):
+        from sitemap_scan_spark.plans.diffing import (
+            round_pair_diff,
+            with_change_magnitude,
+        )
+
+        d = with_change_magnitude(round_pair_diff(fetch_log, 1, 3))
+        r = {x.url_canon: x for x in d.collect()}["https://a/1"]
+        # prev: "hello world stable content here"
+        # curr: "hello world CHANGED content here indeed"
+        # common prefix "hello world " (12) + common suffix... compute like ref
+        prev = "hello world stable content here"
+        curr = "hello world CHANGED content here indeed"
+        n = min(len(prev), len(curr))
+        i = 0
+        while i < n and prev[i] == curr[i]:
+            i += 1
+        j = 0
+        while j < n - i and prev[-1 - j] == curr[-1 - j]:
+            j += 1
+        assert r.added_chars == len(curr) - i - j
+        assert r.removed_chars == len(prev) - i - j
+
+    def test_line_word_diffs(self, spark):
+        from sitemap_scan_spark.plans.diffing import line_set_counts, word_diff_sample
+
+        df = spark.createDataFrame(
+            [("a\nb\nc", "b\nc\nd\ne", "alpha beta gamma", "beta gamma delta")],
+            "la string, lb string, wa string, wb string",
+        )
+        al, rl = line_set_counts(F.col("la"), F.col("lb"))
+        wa, wr = word_diff_sample(F.col("wa"), F.col("wb"))
+        row = df.select(al, rl, wa, wr).collect()[0]
+        assert row.added_lines == 2 and row.removed_lines == 1
+        assert row.words_added == ["delta"] and row.words_removed == ["alpha"]
+
+    def test_summary_and_limit(self, fetch_log):
+        from sitemap_scan_spark.plans.diffing import (
+            limit_changes,
+            round_pair_diff,
+            summarize_changes,
+        )
+
+        d = round_pair_diff(fetch_log, 1, 3)
+        s = summarize_changes(d).collect()[0]
+        assert s.n_changed == 2
+        assert s.largest_change_url in ("https://a/1", "https://a/2")
+        assert limit_changes(d, cap=50).count() == 2
+
+
+class TestScheduler:
+    def test_cron_match(self):
+        now = datetime(2026, 8, 16, 10, 30, tzinfo=timezone.utc)  # Sunday
+        assert matches_cron("*/5 * * * *", now)
+        assert matches_cron("30 10 * * *", now)
+        assert not matches_cron("31 10 * * *", now)
+        assert matches_cron("* * 16 8 *", now)
+        assert matches_cron("* * * * 0", now)  # Sunday = 0
+        assert not matches_cron("* * * * 1", now)
+        assert not matches_cron("bad cron", now)
+        assert not matches_cron("* * * *", now)  # 4 fields
+
+    def test_queue_order_and_requeue(self):
+        q = JobQueue()
+        t = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        q.upsert(Job("b", priority=2, next_run=t))
+        q.upsert(Job("a", priority=1, next_run=t))
+        assert [j.site_id for j in q.upcoming(2)] == ["a", "b"]
+        due = q.pop_due(t)
+        assert len(due) == 2
+        rq = q.requeue_failed(due[0], t)
+        assert rq.attempts == 1 and rq.priority == due[0].priority + 1
+        assert q.upcoming(1)[0].next_run > t
+
+
+class TestMaintenance:
+    def test_expire_and_reset(self, spark, tmp_path):
+        from sitemap_scan_spark.plans.checkpoint import RoundStore
+        from sitemap_scan_spark.plans.maintenance import expire_rounds, reset
+
+        store = RoundStore(str(tmp_path / "rounds"))
+        df = spark.createDataFrame([("https://a/1",)], "url_canon string")
+        for r in range(0, 4):
+            store.begin_round(r)
+            store.write_table(spark, r, "frontier", df)
+            store.commit_manifest(r, {"round": r})
+        expired = expire_rounds(store, keep_last=1)
+        assert expired == [1, 2]  # keeps round 0 (init) and 3 (latest)
+        assert store.committed_rounds() == [0, 1, 2, 3]  # manifests remain
+        assert store.read_table(spark, 3, "frontier").count() == 1
+        reset(store)
+        assert store.committed_rounds() == []
+
+    def test_delete_host(self, spark, tmp_path):
+        from sitemap_scan_spark.plans.checkpoint import RoundStore
+        from sitemap_scan_spark.plans.maintenance import delete_host
+
+        store = RoundStore(str(tmp_path / "rounds"))
+        df = spark.createDataFrame(
+            [("https://a.test/1",), ("https://b.test/1",), ("https://a.test/2",)],
+            "url_canon string",
+        )
+        store.begin_round(0)
+        store.write_table(spark, 0, "frontier", df)
+        store.commit_manifest(0, {})
+        removed = delete_host(spark, store, "a.test")
+        assert removed == {"round_0000/frontier": 2}
+        left = [r.url_canon for r in store.read_table(spark, 0, "frontier").collect()]
+        assert left == ["https://b.test/1"]
+
+
+class TestStructure:
+    def test_counts_and_extracts(self, spark):
+        from sitemap_scan_spark.functions.structure import (
+            extract_h1s,
+            extract_meta,
+            extract_title,
+            style_counts,
+            tag_counts,
+        )
+
+        html = (
+            "<html><head><title>My Title</title>"
+            '<meta name="author" content="Jess">'
+            '<meta content="desc here" name="description">'
+            "<style>.a{}</style></head>"
+            '<body><div style="x:1"><h1>A</h1><h1>B</h1><p>t</p></div></body></html>'
+        ).encode()
+        df = spark.createDataFrame([(html,)], "html binary")
+        row = df.select(
+            extract_title("html").alias("title"),
+            extract_h1s("html").alias("h1s"),
+            extract_meta("html", "author").alias("author"),
+            extract_meta("html", "description").alias("desc"),
+            *tag_counts("html", ["div", "h1", "p", "img"]),
+            *style_counts("html"),
+        ).collect()[0]
+        assert row.title == "My Title"
+        assert row.h1s == ["A", "B"]
+        assert row.author == "Jess" and row.desc == "desc here"
+        assert (row.n_div, row.n_h1, row.n_p, row.n_img) == (1, 2, 1, 0)
+        assert row.n_style_blocks == 1 and row.n_inline_styles == 1
+
+
+class TestFrontierExtras:
+    def test_include_filter_glob(self, spark):
+        df = spark.createDataFrame(
+            [("https://a/blog/x",), ("https://a/shop/y",), ("https://a/blog.html",)],
+            "url_canon string",
+        )
+        got = {r.url_canon for r in include_filter(df, ["*/blog/*"]).collect()}
+        assert got == {"https://a/blog/x"}
+
+    def test_revisit_batch_wraps(self, spark):
+        snap = spark.createDataFrame(
+            [(f"https://a/{i:02d}",) for i in range(10)], "url_canon string"
+        )
+        b1, cur, total = revisit_batch(snap, 0, 4)
+        assert total == 10 and cur == 4
+        assert sorted(r.url_canon for r in b1.collect()) == [
+            f"https://a/{i:02d}" for i in range(4)
+        ]
+        b3, cur3, _ = revisit_batch(snap, 8, 4)  # wraps 8,9,0,1
+        assert cur3 == 2
+        assert sorted(r.url_canon for r in b3.collect()) == [
+            "https://a/00",
+            "https://a/01",
+            "https://a/08",
+            "https://a/09",
+        ]
+
+
+class TestEngineApi:
+    def test_progress_and_reset(self, spark, tmp_path):
+        from sim.genpages import generate
+        from sitemap_scan_spark.config import CrawlConfig
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "corpus")
+        generate(corpus, n_hosts=6, mean_pages=12, n_seeds=2, seed=9)
+        pages = spark.read.parquet(f"{corpus}/pages.parquet")
+        seeds = spark.read.parquet(f"{corpus}/seeds.parquet")
+        eng = CrawlEngine(
+            spark, pages, CrawlConfig(base_host_budget=3, round_size=50, max_rounds=2),
+            str(tmp_path / "wd"),
+        )
+        assert eng.progress()["status"] == "not_started"
+        eng.run(seeds)
+        p = eng.progress()
+        assert p["round"] == 2 and p["counters"]["n_taken"] > 0
+        eng.reset()
+        assert eng.progress()["status"] == "not_started"

@@ -80,3 +80,32 @@ def test_resolve_canonicalize_udf(spark):
     got = {(r.base, r.href): r.c for r in df.collect()}
     for b, h in rows:
         assert got[(b, h)] == canonicalize_one(urljoin(b, h)), (b, h)
+
+
+def test_resolve_fast_paths_match_urljoin(spark):
+    """The vectorized resolve shapes must agree with urljoin everywhere."""
+    from urllib.parse import urljoin
+
+    from sitemap_scan_spark.functions.canonicalize import (
+        canonicalize_one,
+        resolve_canonicalize_udf,
+    )
+
+    bases = [
+        "https://h.test/",
+        "https://h.test/dir/page.html",
+        "https://h.test:8443/a/b/",
+    ]
+    hrefs = [
+        "x.html", "x.html#f", "/root.html", "//other.test/p", "?q=1",
+        "../up.html", "./same.html", "a/../b", "", "#frag",
+        "https://abs.test/x", "HTTP://CASE.TEST/Y", "sub/dir/deep.html",
+        "x%20y.html", "p?b=2&a=1",
+    ]
+    rows = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(rows, "base string, href string").select(
+        "base", "href", resolve_canonicalize_udf("base", "href").alias("c")
+    )
+    got = {(r.base, r.href): r.c for r in df.collect()}
+    for b, h in rows:
+        assert got[(b, h)] == canonicalize_one(urljoin(b, h)), (b, h)

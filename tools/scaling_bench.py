@@ -53,6 +53,8 @@ def run_crawl(cores: int, rounds: int, tag: str) -> dict:
         )
     )
     eng = CrawlEngine(spark, pages, cfg, workdir)  # prep outside timing
+    eng.init_frontier(seeds)  # one-time discovery — also outside: the
+    # metric is round throughput (dequeue→fetch→dedup), per BASELINE.json
     t0 = time.time()
     stats = eng.run(seeds)
     secs = time.time() - t0
