@@ -473,6 +473,99 @@ def q_redact_dynamic(spark, sf):
     )
 
 
+def q_pattern_counts(spark, sf):
+    """A7/A8 analog: per-row regex-occurrence counts (regexp_count)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"(?i)\bthe\b")).alias("n_the"),
+        F.regexp_count("text", F.lit(r"[aeiou]{2}")).alias("n_vowel_pairs"),
+        F.regexp_count("text", F.lit(r"\d")).alias("n_digits"),
+    )
+
+
+def q_include_glob(spark, sf):
+    """P2: include-pattern filter with glob → regex (sitemap.ts:186-197)."""
+    from sitemap_scan_spark.operators.frontier import include_filter
+
+    return (
+        include_filter(_t(spark, sf, "documents"), ["src1*"], col="source")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_quality_score(spark, sf):
+    """Composite quality heuristic (textstats.quality_score)."""
+    from sitemap_scan_spark.functions.textstats import quality_score
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+
+
+def q_tiered_topk(spark, sf):
+    """W11: per-tier quota'd top-k (limitChanges, generator.ts:248-273)."""
+    ev = _t(spark, sf, "events")
+    tier = (
+        F.when(F.col("value") >= 150, "large")
+        .when(F.col("value") >= 50, "medium")
+        .otherwise("small")
+    )
+    quota = (
+        F.when(F.col("tier") == "large", 30)
+        .when(F.col("tier") == "medium", 10)
+        .otherwise(10)
+    )
+    w = Window.partitionBy("tier").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("tier", tier)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("tier", "rn", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+def q_hourly_counters(spark, sf):
+    """T1/A1 streaming-analog batch equivalence: event-time hourly windows."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
+    )
+
+
+def q_sessionize(spark, sf):
+    """Stateful sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    ev = _t(spark, sf, "events").withColumn("new_sess", gap)
+    return ev.groupBy("user_id").agg(
+        (F.sum("new_sess") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_change_magnitude(spark, sf):
+    """F14 change magnitude over aligned doc pairs — pandas-UDF operator,
+    not SQL-expressible (rows-only check)."""
+    from sitemap_scan_spark.plans.diffing import change_magnitude_udf
+
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = d.select((F.col("doc_id") - 250).alias("id_a"), F.col("text").alias("text_b"))
+    return (
+        a.join(b, "id_a")
+        .withColumn("m", change_magnitude_udf("text_a", "text_b"))
+        .select("id_a", F.col("m.added_chars").alias("added"), F.col("m.removed_chars").alias("removed"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_dequeue": q_frontier_dequeue,
@@ -506,6 +599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "redact_dynamic": q_redact_dynamic,
+        "pattern_counts": q_pattern_counts,
+        "include_glob": q_include_glob,
+        "quality_score": q_quality_score,
+        "tiered_topk": q_tiered_topk,
+        "hourly_counters": q_hourly_counters,
+        "sessionize": q_sessionize,
+        "change_magnitude": q_change_magnitude,
     }
 
 
@@ -764,4 +864,57 @@ def oracle_sql() -> dict[str, str]:
                    '\\s+', ' ', 'g'))) AS red_hash
             FROM documents
         """,
+        "pattern_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '(?i)\\bthe\\b')) AS n_the,
+                   len(regexp_extract_all(text, '[aeiou]{2}')) AS n_vowel_pairs,
+                   len(regexp_extract_all(text, '\\d')) AS n_digits
+            FROM documents
+        """,
+        "include_glob": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE regexp_matches(source, '(?i)(src1.*)')
+            GROUP BY source
+        """,
+        "quality_score": """
+            SELECT doc_id, round(
+              0.4 * least(length(text) / 500.0, 1.0)
+            + 0.2 * least(round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                          / greatest(length(text), 1), 6) * 50, 1.0)
+            + 0.2 * (1 - least(round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                          / greatest(length(text), 1), 6) * 5, 1.0))
+            + 0.2 * least(round(len(regexp_extract_all(lower(text),
+                          '\\b(the|and|of|to|in|is|that|for|with|was)\\b'))
+                          / greatest(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 6) * 4, 1.0)
+            , 6) AS q FROM documents
+        """,
+        "tiered_topk": """
+            SELECT tier, rn, event_id, round(value, 2) AS value FROM (
+              SELECT tier, event_id, value,
+                     row_number() OVER (PARTITION BY tier
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM (SELECT event_id, value,
+                           CASE WHEN value >= 150 THEN 'large'
+                                WHEN value >= 50 THEN 'medium'
+                                ELSE 'small' END AS tier
+                    FROM events))
+            WHERE rn <= CASE WHEN tier = 'large' THEN 30 ELSE 10 END
+        """,
+        "hourly_counters": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            GROUP BY user_id
+        """,
+        # change_magnitude: pandas-UDF operator, intentionally no SQL oracle
     }
