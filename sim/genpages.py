@@ -245,28 +245,61 @@ def generate(
     if workers is None:
         workers = min(os.cpu_count() or 1, 16) if total_pages > 20_000 else 1
 
+    # pages.parquet is a DIRECTORY of part files written incrementally —
+    # memory stays bounded at ~one chunk regardless of corpus size, and both
+    # Spark and pandas/pyarrow read the directory transparently.
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    if os.path.isdir(pages_dir):
+        import shutil as _shutil
+
+        _shutil.rmtree(pages_dir)
+    elif os.path.exists(pages_dir):
+        os.remove(pages_dir)
+    os.makedirs(pages_dir, exist_ok=True)
+
+    counters = {"pages": 0, "robots": 0, "sitemaps": 0, "redirects": 0}
+    n_rows = 0
+    part = 0
+    buf: list = []
+
+    def flush() -> None:
+        nonlocal part, buf
+        if not buf:
+            return
+        pdf = pd.DataFrame(buf, columns=["url", "warc_ts", "html", "text", "lang"])
+        # microsecond precision — Spark cannot read parquet TIMESTAMP(NANOS);
+        # small row groups → splittable scans
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us, UTC]")
+        pdf.to_parquet(
+            os.path.join(pages_dir, f"part-{part:04d}.parquet"),
+            index=False,
+            row_group_size=8192,
+        )
+        part += 1
+        buf = []
+
+    def consume(result) -> None:
+        nonlocal n_rows
+        r, c = result
+        buf.extend(r)
+        n_rows += len(r)
+        for k in c:
+            counters[k] += c[k]
+        if len(buf) >= 200_000:
+            flush()
+
     if workers > 1:
         from multiprocessing import Pool
 
         with Pool(workers) as pool:
-            results = pool.map(_gen_host, tasks, chunksize=max(1, n_hosts // (workers * 4)))
+            for result in pool.imap(
+                _gen_host, tasks, chunksize=max(1, n_hosts // (workers * 4))
+            ):
+                consume(result)
     else:
-        results = [_gen_host(t) for t in tasks]
-
-    rows: list = []
-    counters = {"pages": 0, "robots": 0, "sitemaps": 0, "redirects": 0}
-    for r, c in results:
-        rows.extend(r)
-        for k in c:
-            counters[k] += c[k]
-
-    pages = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-    # microsecond precision — Spark cannot read parquet TIMESTAMP(NANOS)
-    pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us, UTC]")
-    pages.to_parquet(
-        os.path.join(out_dir, "pages.parquet"), index=False, row_group_size=8192
-    )  # small row groups → splittable scans (a single pandas-default row group
-    # of 1M rows would serialize every Spark read of this file)
+        for t in tasks:
+            consume(_gen_host(t))
+    flush()
 
     rng = random.Random(f"{seed}|seeds")
     seed_hosts = [hosts[i] for i in sorted(rng.sample(range(n_hosts), min(n_seeds, n_hosts)))]
@@ -278,7 +311,7 @@ def generate(
     )
     seeds.to_parquet(os.path.join(out_dir, "seeds.parquet"), index=False)
     counters["hosts"] = n_hosts
-    counters["rows"] = len(pages)
+    counters["rows"] = n_rows
     counters["seeds"] = len(seeds)
     return counters
 

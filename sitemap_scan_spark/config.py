@@ -44,3 +44,7 @@ class CrawlConfig:
     sitemap_url_pattern: str = r"(?i)\.xml$"
     # number of salt buckets for the two-phase hot-host dequeue (1 = off)
     salt_buckets: int = 8
+    # frontier size below which the Bloom prefilter's per-round jobs cost
+    # more than the plain anti-join they'd accelerate (exact join is always
+    # the correctness backstop)
+    bloom_min_frontier: int = 2_000_000

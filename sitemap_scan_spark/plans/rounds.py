@@ -334,7 +334,13 @@ class CrawlEngine:
             )
             .filter(F.col("depth") <= cfg.max_depth)
         )
-        if self.use_bloom:
+        # Bloom pays for itself once the frontier outgrows what a plain
+        # shuffle anti-join handles cheaply; below the threshold its two
+        # extra jobs/round are pure overhead (SURVEY §4.3 — the exact
+        # anti-join is always the correctness backstop either way).
+        frontier_size = store.table_rows(rnd - 1, "frontier")  # footers only
+        use_bloom_now = self.use_bloom and frontier_size >= self.cfg.bloom_min_frontier
+        if use_bloom_now:
             if self._bloom is None:
                 # first round of this process (fresh run OR resume): one
                 # full-frontier pass seeds the filter; afterwards it is

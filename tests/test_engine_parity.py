@@ -109,13 +109,18 @@ def test_text_byte_identical(engine, oracle, spark, corpus_dir):
 
 
 def test_resume_identical(spark, corpus_dir, oracle):
-    """Run rounds 1..3, 'kill', resume to completion → identical outputs."""
+    """Run rounds 1..3, 'kill', resume to completion → identical outputs.
+    Runs with the Bloom prefilter FORCED ON (threshold 0) so the bloom
+    dedup path gets full end-to-end parity coverage too."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, bloom_min_frontier=0)
     workdir = "/tmp/ssc_engine_resume"
     shutil.rmtree(workdir, ignore_errors=True)
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
 
-    eng1 = CrawlEngine(spark, pages, CFG, workdir)
+    eng1 = CrawlEngine(spark, pages, cfg, workdir)
     eng1.run(seeds, max_rounds=3)
     assert eng1.store.latest_round() == 3
 
@@ -123,7 +128,7 @@ def test_resume_identical(spark, corpus_dir, oracle):
     partial = os.path.join(workdir, "rounds", "round_0004")
     os.makedirs(os.path.join(partial, "frontier"), exist_ok=True)
 
-    eng2 = CrawlEngine(spark, pages, CFG, workdir)
+    eng2 = CrawlEngine(spark, pages, cfg, workdir)
     assert eng2.store.latest_round() == 3  # partial round invisible
     eng2.run(seeds)
 

@@ -41,7 +41,8 @@ def hardware_ceiling(n: int, n4: int) -> float:
 
     per_task_n = timed(n)
     per_task_4n = timed(n4)
-    return round(per_task_n / per_task_4n / 1.0, 3) if per_task_4n else 0.0
+    # perfect scaling → per-task wall shrinks 4×; efficiency = speedup/4
+    return round(per_task_n / per_task_4n / 4.0, 3) if per_task_4n else 0.0
 
 
 def _burn(n: int) -> int:
