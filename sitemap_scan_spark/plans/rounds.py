@@ -5,23 +5,23 @@ Distributed implementation of CRAWL_SPEC.md (the reference's
 fetcher.ts:101-294) where every round is ONE DataFrame job:
 
     pending ─robots gate (broadcast dim)─► eligible
-            ─two-phase salted window dequeue─► taken (≤ round_size)
-            ─left join pages (fetch sim)─► fetched/miss/redirect
-            ─mapInPandas link+redirect extraction─► candidates
-            ─canonicalize → exclude rlike → groupBy dedup─►
-            ─Bloom-prefiltered anti-join vs frontier─► new pending rows
+            ─two-phase salted window dequeue + parallel global rank─► taken
+            ─broadcast fetch join vs pages─► fetched/miss/redirect
+            ─JVM regex parse (text/links/redirect)─► fetch_log delta
+            ─vectorized resolve+canonicalize → exclude rlike → dedup─►
+            ─(adaptive Bloom-prefiltered) anti-join vs frontier─► inserts
             ─frontier snapshot + deltas committed via RoundStore─► next round
 
 Scale notes (10^10 frontier, 100 TB pages):
-- the frontier snapshot is the only full-size table rewritten per round; it
-  is written hash-distributed on url_canon (stable joins) and reloaded,
-  which also truncates lineage (no unbounded plan growth across rounds);
+- WRITE-FIRST: each stage materializes its delta once and re-reads it (no
+  heap-resident checkpoints, lineage truncated every round; counters come
+  from parquet footers, not extra jobs);
 - the fetch join broadcasts ``taken`` (≤ round_size) against the pages scan;
   with an Iceberg pages table, bloom-filter column metrics on url prune
   almost all files — locally it's one scan per round;
 - robots rules are a per-host dim — broadcast, never shuffled;
-- everything Python-side is Arrow-batched pandas (canonicalize, link
-  extraction, bloom probe); hashing/filtering/windows are JVM codegen.
+- parse/extract/dedup keys are JVM whole-stage codegen; Python appears only
+  in Arrow-vectorized canonicalization and the Bloom probe — never per-row.
 """
 
 from __future__ import annotations
