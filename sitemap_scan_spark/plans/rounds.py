@@ -59,6 +59,7 @@ class CrawlEngine:
         cfg: CrawlConfig,
         workdir: str,
         use_bloom: bool = True,
+        refresh_pages: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -66,6 +67,12 @@ class CrawlEngine:
         self.store = RoundStore(os.path.join(workdir, "rounds"))
         self.use_bloom = use_bloom
         self._bloom: IncrementalBloom | None = None
+        if refresh_pages:
+            # the pages table changed underneath (new crawl epoch) —
+            # rebuild the canonicalized materialization
+            import shutil
+
+            shutil.rmtree(os.path.join(workdir, "pages_canon"), ignore_errors=True)
         self._prepare_pages(pages)
 
     # ------------------------------------------------------------------ setup
@@ -181,7 +188,158 @@ class CrawlEngine:
         self.store.commit_round(
             0, {"frontier": frontier}, {"frontier_size": n, "n_pending_after": n}
         )
+        # record discovery watermarks (root list + content/semantic hashes)
+        # for refresh_discovery()'s no-rescan logic (T3/T5)
+        from ..functions.canonicalize import canonicalize_one
+
+        canon_roots = sorted(
+            {c for c in (canonicalize_one(r) for r in roots) if c}
+        )
+        self._save_discovery_state(
+            {"roots": canon_roots, "root_hashes": self._root_sitemap_hashes(canon_roots)}
+        )
         return {"frontier_size": n}
+
+    # ---------------------------------------------------------- re-discovery
+    def _discovery_state_path(self) -> str:
+        return os.path.join(self.workdir, "discovery_state.json")
+
+    def _save_discovery_state(self, state: dict) -> None:
+        import json
+
+        tmp = self._discovery_state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.rename(tmp, self._discovery_state_path())
+
+    def _load_discovery_state(self) -> dict:
+        import json
+
+        p = self._discovery_state_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _root_sitemap_hashes(self, roots: list[str]) -> dict[str, dict]:
+        """Per root sitemap URL: content hash + semantic hash (F21 — sha256
+        of the sorted distinct canonical loc set, fetcher.ts:901-914) of the
+        CURRENT body in pages. One job over the small sitemap subset."""
+        from ..functions.canonicalize import canonicalize_one
+        from ..sources.sitemap import parse_sitemap_one
+        import hashlib
+
+        rows = (
+            self.pages_canon.filter(F.col("url_canon").isin(roots))
+            .select("url_canon", "html")
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            body = (
+                r.html.decode("utf-8", "replace")
+                if isinstance(r.html, (bytes, bytearray))
+                else (r.html or "")
+            )
+            _kind, entries = parse_sitemap_one(body, self.cfg.sitemap_default_priority)
+            locs = sorted(
+                {
+                    c
+                    for c in (canonicalize_one(u) for u, _ in entries)
+                    if c is not None
+                }
+            )
+            out[r.url_canon] = {
+                "content_hash": hashlib.sha256(body.encode()).hexdigest(),
+                "semantic_hash": hashlib.sha256("\n".join(locs).encode()).hexdigest(),
+            }
+        return out
+
+    def refresh_discovery(self) -> dict:
+        """T3/T5/S9 analog of the reference's no-rescan logic
+        (fetcher.ts:995-1090): re-hash each root sitemap's body; unchanged →
+        skip; content changed but semantic hash (loc set) unchanged —
+        ``<lastmod>``-only churn — → skip but refresh the stored content
+        hash; semantically changed → re-expand that root and insert the
+        genuinely new URLs as pending (listener-mode incremental discovery,
+        fetcher.ts:482-505). Requires a committed crawl state."""
+        latest = self.store.latest_round()
+        if latest is None:
+            raise RuntimeError("refresh_discovery needs an initialized crawl")
+        state = self._load_discovery_state()
+        roots = sorted(state.get("roots", []))
+        stored = state.get("root_hashes", {})
+        current = self._root_sitemap_hashes(roots)
+
+        changed_roots = []
+        skipped, lastmod_only = [], []
+        for root in roots:
+            cur = current.get(root)
+            old = stored.get(root)
+            if cur is None or (old and cur["content_hash"] == old["content_hash"]):
+                skipped.append(root)
+                continue
+            if old and cur["semantic_hash"] == old["semantic_hash"]:
+                lastmod_only.append(root)  # volatile <lastmod>, stable locs
+                continue
+            changed_roots.append(root)
+
+        n_new = 0
+        if changed_roots:
+            locs = expand_sitemaps(self.spark, self.pages_canon, changed_roots, self.cfg)
+            frontier = self.store.read_table(self.spark, latest, "frontier")
+            cands = self._exclude_filter(
+                locs.select(
+                    "url_canon",
+                    F.lit(1).alias("depth"),
+                    "priority",
+                )
+            )
+            fresh = exact_anti_join(cands, frontier.select("url_canon"))
+            new_rows = fresh.select(
+                "url_canon",
+                F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
+                "depth",
+                "priority",
+                F.lit(latest).alias("discovered_round"),
+                F.lit("pending").alias("status"),
+            )
+            merged = frontier.unionByName(new_rows)
+            # commit as a fresh round so resume semantics stay append-only
+            new_round = latest + 1
+            self.store.begin_round(new_round)
+            self.store.write_table(self.spark, new_round, "frontier", merged)
+            n_new = self.store.table_rows(new_round, "frontier") - self.store.table_rows(
+                latest, "frontier"
+            )
+            prev_pending = self.store.read_manifest(latest)["counters"].get(
+                "n_pending_after", 0
+            )
+            self.store.commit_manifest(
+                new_round,
+                {
+                    "round": new_round,
+                    "kind": "discovery_refresh",
+                    "n_taken": 0,
+                    "n_new": n_new,
+                    "n_pending_after": (prev_pending or 0) + n_new,
+                },
+            )
+            if self._bloom is not None and n_new > 0:
+                self._bloom.update(
+                    self.store.read_table(self.spark, new_round, "frontier").filter(
+                        F.col("discovered_round") == latest
+                    ).select("url_canon")
+                )
+
+        state["root_hashes"] = {**stored, **current}
+        self._save_discovery_state(state)
+        return {
+            "skipped": len(skipped),
+            "lastmod_only": len(lastmod_only),
+            "re_expanded": len(changed_roots),
+            "n_new": n_new,
+        }
 
     # ----------------------------------------------------------------- round
     def run_round(self, rnd: int) -> dict:

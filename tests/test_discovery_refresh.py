@@ -1,0 +1,94 @@
+"""Semantic-hash no-rescan (T3/T5/S9) — mirrors the reference behavior test
+'lastmod-only churn causes no rescan' (src/backup/fetcher.spec.ts:170-225)
+and listener-mode incremental discovery (fetcher.ts:482-505)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from sitemap_scan_spark.config import CrawlConfig
+from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+BASE = "/tmp/ssc_refresh_test"
+CFG = CrawlConfig(base_host_budget=50, round_size=500, max_rounds=3)
+
+
+def _corpus(path: str, lastmod: str, extra_loc: bool = False):
+    from sitemap_scan_spark.functions.extract import extract_text_one
+
+    os.makedirs(path, exist_ok=True)
+    h = "rf.test"
+    locs = [f"https://{h}/", f"https://{h}/a.html", f"https://{h}/b.html"]
+    if extra_loc:
+        locs.append(f"https://{h}/brand-new.html")
+    urlset = (
+        "<urlset>"
+        + "".join(
+            f"<url><loc>{u}</loc><lastmod>{lastmod}</lastmod></url>" for u in locs
+        )
+        + "</urlset>"
+    )
+    rows = [(f"https://{h}/sitemap.xml", urlset)]
+    for u in locs:
+        rows.append((u, f"<html><body><p>page {u}</p></body></html>"))
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pd.to_datetime(["2026-01-01"] * len(rows))
+            .tz_localize("UTC")
+            .astype("datetime64[us, UTC]"),
+            "html": [r[1].encode() for r in rows],
+            "text": [extract_text_one(r[1]) for r in rows],
+            "lang": ["en"] * len(rows),
+        }
+    )
+    pdf.to_parquet(os.path.join(path, "pages.parquet"), index=False)
+    pd.DataFrame({"seed_url": [f"https://{h}/"], "priority": [0.8]}).to_parquet(
+        os.path.join(path, "seeds.parquet"), index=False
+    )
+
+
+def test_lastmod_churn_skips_and_new_loc_discovered(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    wd = f"{BASE}/wd"
+    _corpus(f"{BASE}/c1", "2026-01-01")
+    pages1 = spark.read.parquet(f"{BASE}/c1/pages.parquet")
+    seeds = spark.read.parquet(f"{BASE}/c1/seeds.parquet")
+    eng = CrawlEngine(spark, pages1, CFG, wd)
+    eng.run(seeds)
+    latest_before = eng.store.latest_round()
+
+    # epoch 2: ONLY <lastmod> changed — semantic hash identical → skip
+    _corpus(f"{BASE}/c2", "2026-02-02")
+    pages2 = spark.read.parquet(f"{BASE}/c2/pages.parquet")
+    eng2 = CrawlEngine(spark, pages2, CFG, wd, refresh_pages=True)
+    r = eng2.refresh_discovery()
+    assert r["re_expanded"] == 0 and r["lastmod_only"] == 1 and r["n_new"] == 0
+    assert eng2.store.latest_round() == latest_before  # no new round
+
+    # epoch 3: identical content → content-hash short-circuit
+    eng2b = CrawlEngine(spark, pages2, CFG, wd, refresh_pages=True)
+    r2 = eng2b.refresh_discovery()
+    assert r2["skipped"] == 1 and r2["re_expanded"] == 0
+
+    # epoch 4: a genuinely new loc appears → re-expand, enqueue exactly it
+    _corpus(f"{BASE}/c3", "2026-03-03", extra_loc=True)
+    pages3 = spark.read.parquet(f"{BASE}/c3/pages.parquet")
+    eng3 = CrawlEngine(spark, pages3, CFG, wd, refresh_pages=True)
+    r3 = eng3.refresh_discovery()
+    assert r3["re_expanded"] == 1 and r3["n_new"] == 1
+    new_round = eng3.store.latest_round()
+    assert new_round == latest_before + 1
+    frontier = eng3.store.read_table(spark, new_round, "frontier")
+    pend = [
+        x.url_canon for x in frontier.filter("status = 'pending'").collect()
+    ]
+    assert pend == ["https://rf.test/brand-new.html"]
+
+    # and the crawl resumes over just the new URL
+    stats = eng3.run(seeds, max_rounds=new_round + 1)
+    assert stats and stats[-1]["n_taken"] == 1
