@@ -244,3 +244,27 @@ class TestEngineApi:
         assert p["round"] == 2 and p["counters"]["n_taken"] > 0
         eng.reset()
         assert eng.progress()["status"] == "not_started"
+
+
+class TestMetrics:
+    def test_runs_df_and_summary(self, spark, tmp_path):
+        from sim.genpages import generate
+        from sitemap_scan_spark.config import CrawlConfig
+        from sitemap_scan_spark.plans.metrics import runs_df, summarize
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "c")
+        generate(corpus, n_hosts=6, mean_pages=12, n_seeds=2, seed=3)
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(f"{corpus}/pages.parquet"),
+            CrawlConfig(base_host_budget=4, round_size=60, max_rounds=2),
+            str(tmp_path / "wd"),
+        )
+        eng.run(spark.read.parquet(f"{corpus}/seeds.parquet"))
+        df = runs_df(spark, eng.store)
+        assert df.count() == 3  # round 0 + 2 crawl rounds
+        s = summarize(eng.store)
+        assert s["rounds"] == 2 and s["n_taken"] > 0
+        assert s["n_taken"] == s["n_fetched"] + s["n_miss"] + s["n_redirect"]
+        assert 0 < s["success_rate"] <= 1
