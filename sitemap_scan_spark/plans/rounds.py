@@ -625,6 +625,29 @@ class CrawlEngine:
         _reset(self.store)
         self._bloom = None
 
+    def overview(self) -> DataFrame:
+        """3.3 analog of GET /api/sites/overview (index.ts:399-425): one row
+        per host — frontier status breakdown + first/last activity — a
+        left-join enrich over the latest frontier snapshot."""
+        latest = self.store.latest_round()
+        if latest is None:
+            raise RuntimeError("overview needs an initialized crawl")
+        frontier = self.store.read_table(self.spark, latest, "frontier")
+        return (
+            frontier.groupBy("host")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
+                F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_fetched"),
+                F.sum(F.when(F.col("status") == "miss", 1).otherwise(0)).alias("n_miss"),
+                F.sum(F.when(F.col("status") == "redirect", 1).otherwise(0)).alias("n_redirect"),
+                F.sum(F.when(F.col("status") == "robots_blocked", 1).otherwise(0)).alias("n_blocked"),
+                F.min("discovered_round").alias("first_discovered_round"),
+                F.max("discovered_round").alias("last_discovered_round"),
+            )
+            .orderBy("host")
+        )
+
     # --------------------------------------------------------------- outputs
     def crawl_order(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "crawl_order")

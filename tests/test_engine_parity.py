@@ -152,3 +152,45 @@ def test_manifest_lineage(engine):
     for t in ("frontier", "crawl_order", "url_seen", "fetch_log"):
         assert m["lineage"][t]["n_files"] >= 1
         assert all(p["rows"] >= 0 for p in m["lineage"][t]["partitions"])
+
+
+def test_alternate_seed_parity(spark):
+    """Parity must hold on a structurally different corpus (different seed:
+    different cycle layout, link graph, robots mix)."""
+    corpus = "/tmp/ssc_corpus_alt"
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        generate(corpus, n_hosts=25, mean_pages=60, n_seeds=4, seed=1337)
+    cfg = CrawlConfig(base_host_budget=6, round_size=150, max_depth=4, max_rounds=5)
+    want = run_oracle(corpus, cfg)
+
+    workdir = "/tmp/ssc_engine_alt"
+    shutil.rmtree(workdir, ignore_errors=True)
+    eng = CrawlEngine(
+        spark, spark.read.parquet(os.path.join(corpus, "pages.parquet")), cfg, workdir
+    )
+    eng.run(spark.read.parquet(os.path.join(corpus, "seeds.parquet")))
+
+    got = (
+        eng.crawl_order().toPandas().sort_values(["round", "rank"]).reset_index(drop=True)
+    )
+    w = want.order_df().sort_values(["round", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"round": "int64", "rank": "int64"}),
+        w.astype({"round": "int64", "rank": "int64"}),
+    )
+    gs = (
+        eng.url_seen().toPandas().sort_values("url_canon").reset_index(drop=True)[
+            ["url_canon", "first_seen_round", "last_status"]
+        ]
+    )
+    ws = want.seen_df().sort_values("url_canon").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gs.astype({"first_seen_round": "int64"}), ws.astype({"first_seen_round": "int64"})
+    )
+
+
+def test_overview(engine):
+    ov = engine.overview().toPandas()
+    assert len(ov) > 0
+    assert (ov.n_urls == ov.n_pending + ov.n_fetched + ov.n_miss + ov.n_redirect + ov.n_blocked).all()
+    assert ov.n_fetched.sum() > 0
