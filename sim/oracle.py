@@ -133,17 +133,30 @@ class OracleCrawler:
             roots.extend(robots[h].sitemaps or [f"https://{h}/sitemap.xml"])
         sitemap_locs = self._expand_sitemaps(roots)
 
+        def gate_insert(u: str, host: str, depth: int, pr: float, rnd: int) -> None:
+            """Robots gate at insert (CRAWL_SPEC Discovery 4 / Round 5)."""
+            ru = robots.get(host)
+            if ru is None:
+                ru = robots[host] = self._robots(host)
+            path = re.sub(r"^https?://[^/]+", "", u)
+            if not ru.allows(path):
+                frontier[u] = FrontierRow(u, host, depth, pr, rnd, "robots_blocked")
+                res.url_seen.setdefault(u, (rnd, "robots_blocked"))
+            else:
+                frontier[u] = FrontierRow(u, host, depth, pr, rnd)
+
         for u, p in seed_rows.items():
             if not self._excluded(u):
-                frontier[u] = FrontierRow(u, host_of_one(u), 0, p, 0)
+                gate_insert(u, host_of_one(u), 0, p, 0)
         for u, p in sitemap_locs.items():
             if self._excluded(u):
                 continue
             if u in frontier:
                 r = frontier[u]
                 r.priority = max(r.priority, p)
+                r.depth = min(r.depth, 1)
             else:
-                frontier[u] = FrontierRow(u, host_of_one(u), 1, p, 0)
+                gate_insert(u, host_of_one(u), 1, p, 0)
 
         # --- rounds ----------------------------------------------------------
         for rnd in range(1, cfg.max_rounds + 1):
@@ -152,18 +165,8 @@ class OracleCrawler:
                 break
             res.rounds_run = rnd
 
-            # robots gate
-            eligible: list[FrontierRow] = []
-            for r in pending:
-                ru = robots.get(r.host)
-                if ru is None:
-                    ru = robots[r.host] = self._robots(r.host)
-                path = re.sub(r"^https?://[^/]+", "", r.url_canon)
-                if not ru.allows(path):
-                    r.status = "robots_blocked"
-                    res.url_seen.setdefault(r.url_canon, (rnd, "robots_blocked"))
-                else:
-                    eligible.append(r)
+            # robots gating happened at insert — all pending rows eligible
+            eligible = pending
 
             key = lambda r: (-r.priority, r.depth, r.discovered_round, r.url_canon)
             eligible.sort(key=key)
@@ -215,15 +218,22 @@ class OracleCrawler:
                             )
                 res.url_seen.setdefault(r.url_canon, (rnd, r.status))
 
-            # insert new URLs (anti-join vs all frontier states)
+            # insert new URLs (anti-join vs all frontier states), robots
+            # gate applied at insert (CRAWL_SPEC Round 5)
             for c, (pr, dp) in sorted(candidates.items()):
                 if dp > cfg.max_depth:
                     continue
                 if c not in frontier:
-                    frontier[c] = FrontierRow(c, host_of_one(c), dp, pr, rnd)
-                    h = frontier[c].host
-                    if h not in robots:
-                        robots[h] = self._robots(h)
+                    h = host_of_one(c)
+                    ru = robots.get(h)
+                    if ru is None:
+                        ru = robots[h] = self._robots(h)
+                    path = re.sub(r"^https?://[^/]+", "", c)
+                    if not ru.allows(path):
+                        frontier[c] = FrontierRow(c, h, dp, pr, rnd, "robots_blocked")
+                        res.url_seen.setdefault(c, (rnd, "robots_blocked"))
+                    else:
+                        frontier[c] = FrontierRow(c, h, dp, pr, rnd)
 
         return res
 

@@ -47,7 +47,7 @@ from .checkpoint import RoundStore
 
 FRONTIER_SCHEMA = (
     "url_canon string, host string, depth int, priority double, "
-    "discovered_round int, status string"
+    "discovered_round int, status string, crawl_delay int"
 )
 
 
@@ -124,6 +124,32 @@ class CrawlEngine:
             "host string, disallow array<string>, crawl_delay int, sitemaps array<string>",
         )
 
+    def _gate_inserts(self, cands: DataFrame, rnd: int) -> DataFrame:
+        """Robots gate AT INSERT (CRAWL_SPEC Discovery 4 / Round 5): join the
+        per-host rules dim (broadcast — only the small insert set is gated,
+        never the full pending frontier), mark disallowed rows
+        ``robots_blocked``, attach the host's crawl_delay to allowed rows.
+
+        ``cands`` needs (url_canon, depth, priority); returns full frontier
+        rows (status + crawl_delay + discovered_round)."""
+        from ..sources.robots import robots_gate
+
+        with_host = cands.withColumn(
+            "host", F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1)
+        )
+        gated = robots_gate(
+            with_host, self.robots_dim.select("host", "disallow", "crawl_delay")
+        )
+        return gated.select(
+            "url_canon",
+            "host",
+            "depth",
+            "priority",
+            F.lit(rnd).alias("discovered_round"),
+            F.when(F.col("blocked"), "robots_blocked").otherwise("pending").alias("status"),
+            F.col("crawl_delay"),
+        )
+
     def _exclude_filter(self, df: DataFrame, col: str = "url_canon") -> DataFrame:
         """P1 default i18n excludes as ONE alternation rlike (single regex
         pass, JVM-side; fetcher.ts:809-840)."""
@@ -171,22 +197,29 @@ class CrawlEngine:
         locs_f = locs.select(
             "url_canon", F.lit(1).alias("depth"), F.col("priority")
         )
-        frontier = (
+        frontier = self._gate_inserts(
             self._exclude_filter(seeds_f.unionByName(locs_f))
             .groupBy("url_canon")
             .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
-            .select(
-                "url_canon",
-                F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
-                "depth",
-                "priority",
-                F.lit(0).alias("discovered_round"),
-                F.lit("pending").alias("status"),
-            )
+            .select("url_canon", "depth", "priority"),
+            rnd=0,
         )
+        url_seen_0 = frontier.filter(F.col("status") == "robots_blocked").select(
+            "url_canon",
+            F.lit(0).alias("first_seen_round"),
+            F.lit("robots_blocked").alias("last_status"),
+        )
+        frontier = frontier.localCheckpoint(eager=True)
         n = frontier.count()
+        n_blocked = frontier.filter(F.col("status") == "robots_blocked").count()
         self.store.commit_round(
-            0, {"frontier": frontier}, {"frontier_size": n, "n_pending_after": n}
+            0,
+            {"frontier": frontier, "url_seen": url_seen_0},
+            {
+                "frontier_size": n,
+                "n_blocked": n_blocked,
+                "n_pending_after": n - n_blocked,
+            },
         )
         # record discovery watermarks (root list + content/semantic hashes)
         # for refresh_discovery()'s no-rescan logic (T3/T5)
@@ -296,13 +329,8 @@ class CrawlEngine:
                 )
             )
             fresh = exact_anti_join(cands, frontier.select("url_canon"))
-            new_rows = fresh.select(
-                "url_canon",
-                F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
-                "depth",
-                "priority",
-                F.lit(latest).alias("discovered_round"),
-                F.lit("pending").alias("status"),
+            new_rows = self._gate_inserts(
+                fresh.select("url_canon", "depth", "priority"), latest
             )
             merged = frontier.unionByName(new_rows)
             # commit as a fresh round so resume semantics stay append-only
@@ -361,15 +389,9 @@ class CrawlEngine:
         store = self.store
         store.begin_round(rnd)
         frontier = store.read_table(self.spark, rnd - 1, "frontier")
-        pending = frontier.filter(F.col("status") == "pending")
-
-        # 1. robots gate (broadcast per-host dim, JVM exists() on prefixes)
-        from ..sources.robots import robots_gate
-
-        gated = robots_gate(
-            pending, self.robots_dim.select("host", "disallow", "crawl_delay")
-        )
-        eligible = gated.filter(~F.col("blocked")).drop("blocked")
+        # 1. robots gating happened at insert (status + crawl_delay live in
+        # the frontier row), so every pending row is eligible by construction
+        eligible = frontier.filter(F.col("status") == "pending")
 
         # 2-3. politeness dequeue (two-phase salted window + TakeOrdered cap)
         # — written as this round's crawl_order delta, then re-read
@@ -438,28 +460,7 @@ class CrawlEngine:
         )
         _mark("fetch+parse+write fetch_log")
 
-        # 5. URL-seen delta: robots-blocked + every dequeued URL's status
-        url_seen_delta = store.write_table(
-            self.spark,
-            rnd,
-            "url_seen",
-            gated.filter(F.col("blocked"))
-            .select(
-                "url_canon",
-                F.lit(rnd).alias("first_seen_round"),
-                F.lit("robots_blocked").alias("last_status"),
-            )
-            .unionByName(
-                fetch_log.select(
-                    "url_canon",
-                    F.lit(rnd).alias("first_seen_round"),
-                    F.col("status").alias("last_status"),
-                )
-            ),
-        )
-        _mark("write url_seen")
-
-        # 6. candidate links from the fetch_log delta: explode + redirect
+        # 5/6. candidate links from the fetch_log delta: explode + redirect
         # targets, canonicalize, exclude, per-round dedup, Bloom-prefiltered
         # anti-join vs the whole frontier → this round's inserts
         links = fetch_log.filter(F.col("status") == "fetched").select(
@@ -511,27 +512,41 @@ class CrawlEngine:
             )
         else:
             fresh = exact_anti_join(cands, frontier.select("url_canon"))
+        # robots gate AT INSERT — only the (small) fresh set is joined
+        # against the rules dim; blocked rows enter the frontier terminally
         new_rows = store.write_table(
             self.spark,
             rnd,
             "frontier_inserts",
-            fresh.select(
-                "url_canon",
-                F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1).alias("host"),
-                "depth",
-                "priority",
-                F.lit(rnd).alias("discovered_round"),
-                F.lit("pending").alias("status"),
-            ),
+            self._gate_inserts(fresh.select("url_canon", "depth", "priority"), rnd),
         )
         if self._bloom is not None:
             self._bloom.update(new_rows.select("url_canon"))
         _mark("candidates+anti-join+write inserts+bloom")
 
+        # URL-seen delta: dequeued statuses + this round's blocked inserts
+        url_seen_delta = store.write_table(
+            self.spark,
+            rnd,
+            "url_seen",
+            fetch_log.select(
+                "url_canon",
+                F.lit(rnd).alias("first_seen_round"),
+                F.col("status").alias("last_status"),
+            ).unionByName(
+                new_rows.filter(F.col("status") == "robots_blocked").select(
+                    "url_canon",
+                    F.lit(rnd).alias("first_seen_round"),
+                    F.lit("robots_blocked").alias("last_status"),
+                )
+            ),
+        )
+        _mark("write url_seen")
+
         # 7. frontier snapshot: status transitions (broadcast join against
-        # the small per-round update set) + inserts
-        updates = url_seen_delta.select(
-            "url_canon", F.col("last_status").alias("new_status")
+        # the small per-round dequeued set) + inserts
+        updates = fetch_log.select(
+            "url_canon", F.col("status").alias("new_status")
         )
         frontier_next = (
             frontier.join(F.broadcast(updates), "url_canon", "left")
