@@ -566,6 +566,29 @@ def q_change_magnitude(spark, sf):
     )
 
 
+def q_embedding_ann_topk(spark, sf):
+    """LSH-bucketed approximate top-k (the scale path next to the brute
+    oracle-checked embedding_topk). Approximate by design — rows-only
+    check; recall vs brute force is asserted in tests/test_operators.py."""
+    from sitemap_scan_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    return ann_topk(emb, q, k=10, n_planes=8, probe_hamming=2)
+
+
+def q_simhash_groups(spark, sf):
+    """SimHash identical-hash dup groups (dedup rollup over q:simhash)."""
+    from sitemap_scan_spark.operators.dedup import simhash64
+
+    sim = simhash64(_t(spark, sf, "documents"))
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_dequeue": q_frontier_dequeue,
@@ -606,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_counters": q_hourly_counters,
         "sessionize": q_sessionize,
         "change_magnitude": q_change_magnitude,
+        "embedding_ann_topk": q_embedding_ann_topk,
+        "simhash_groups": q_simhash_groups,
     }
 
 
@@ -917,4 +942,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         # change_magnitude: pandas-UDF operator, intentionally no SQL oracle
+        # embedding_ann_topk: approximate by design — no SQL oracle
+        "simhash_groups": """
+            WITH wh AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(string_split_regex(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), 1, 15))::BIGINT AS h
+              FROM documents),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM wh, unnest(generate_series(0, 59)) t(i)
+              GROUP BY doc_id, i),
+            sims AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+            FROM sims GROUP BY simhash HAVING count(*) > 1
+        """,
     }

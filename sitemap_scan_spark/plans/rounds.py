@@ -67,6 +67,12 @@ class CrawlEngine:
         self.store = RoundStore(os.path.join(workdir, "rounds"))
         self.use_bloom = use_bloom
         self._bloom: IncrementalBloom | None = None
+        # frontier snapshot cached hash-partitioned on url_canon between
+        # rounds: the anti-join and the status-update join then reuse the
+        # partitioning instead of reshuffling the full frontier every round
+        # (the in-memory analog of an Iceberg table bucketed by url_canon)
+        self._frontier_cache: DataFrame | None = None
+        self._frontier_cache_round: int | None = None
         if refresh_pages:
             # the pages table changed underneath (new crawl epoch) —
             # rebuild the canonicalized materialization
@@ -233,6 +239,23 @@ class CrawlEngine:
         )
         return {"frontier_size": n}
 
+    def _frontier(self, rnd: int) -> DataFrame:
+        """The frontier snapshot of round ``rnd``, cached hash-partitioned on
+        url_canon (one shuffle per round instead of one per consumer)."""
+        if self._frontier_cache is not None and self._frontier_cache_round == rnd:
+            return self._frontier_cache
+        if self._frontier_cache is not None:
+            self._frontier_cache.unpersist()
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = (
+            self.store.read_table(self.spark, rnd, "frontier")
+            .repartition(n, "url_canon")
+            .persist()
+        )
+        self._frontier_cache = df
+        self._frontier_cache_round = rnd
+        return df
+
     # ---------------------------------------------------------- re-discovery
     def _discovery_state_path(self) -> str:
         return os.path.join(self.workdir, "discovery_state.json")
@@ -388,7 +411,7 @@ class CrawlEngine:
 
         store = self.store
         store.begin_round(rnd)
-        frontier = store.read_table(self.spark, rnd - 1, "frontier")
+        frontier = self._frontier(rnd - 1)
         # 1. robots gating happened at insert (status + crawl_delay live in
         # the frontier row), so every pending row is eligible by construction
         eligible = frontier.filter(F.col("status") == "pending")
