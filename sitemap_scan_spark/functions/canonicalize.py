@@ -169,9 +169,10 @@ def resolve_canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 
     is_abs = h.str.match(r"(?i)^https?://", na=False)
     is_root = valid & h.str.match(r"^/(?!/)", na=False)
-    # sibling-relative: no scheme/colon-ish prefix, no leading slash or dot
+    # sibling-relative: no scheme/colon-ish prefix, no leading slash or dot,
+    # no '//' (urljoin collapses empty segments in RELATIVE refs)
     is_sib = valid & h.str.match(r"^[A-Za-z0-9_~%-][^:]*$", na=False) & ~h.str.contains(
-        r"^\.|/\.", regex=True, na=False
+        r"^\.|/\.|//", regex=True, na=False
     )
 
     resolved = h.copy()
@@ -181,6 +182,65 @@ def resolve_canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     if rest.any():
         resolved.loc[rest] = [urljoin(x, y) for x, y in zip(b[rest], h[rest])]
     return canonicalize_series(resolved)
+
+
+def with_resolved_canonical(
+    df,
+    base_col: str,
+    raw_col: str,
+    out_col: str = "url_canon",
+):
+    """Resolve ``raw`` hrefs against ``base`` and canonicalize — JVM fast
+    path for the three common href shapes × the simple-URL canonical class,
+    pandas-UDF fallback for everything else (split + union, so the Python
+    worker only ever sees the exotic minority).
+
+    The JVM fast class is chosen so its one-expression result provably
+    equals :func:`canonicalize_one` ∘ urljoin (asserted by fuzz tests):
+    http(s), plain host, unreserved-safe path, no port/query/%/dot-segments
+    (fragments are stripped first, matching canonicalization).
+
+    Returns a DataFrame with ``out_col`` (non-null) — input rows whose URL
+    is invalid/non-http(s) are dropped, like the UDF path.
+    """
+    base = F.col(base_col)
+    raw = F.col(raw_col)
+
+    origin = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
+    basedir = F.regexp_replace(base, r"[^/]*$", "")
+    is_abs = raw.rlike(r"(?i)^https?://")
+    is_root = raw.rlike(r"^/[^/]") | (raw == "/")
+    # '//' excluded: urljoin collapses empty segments in relative refs
+    is_sib = raw.rlike(r"^[A-Za-z0-9_~%-][^:]*$") & ~raw.rlike(r"^\.|/\.|//")
+    resolved = (
+        F.when(is_abs, raw)
+        .when(is_root, F.concat(origin, raw))
+        .when(is_sib, F.concat(basedir, raw))
+        .otherwise(F.lit(None))
+    )
+    nofrag = F.regexp_replace(resolved, "#.*$", "")
+    fast_ok = (
+        resolved.isNotNull()
+        & nofrag.rlike(r"^(?i)https?://[A-Za-z0-9.\-]+(/[A-Za-z0-9/._~\-]*)?$")
+        & ~nofrag.rlike(r"/\.{1,2}(/|$)")
+    )
+    scheme = F.lower(F.regexp_extract(nofrag, r"^(?i)(https?)://", 1))
+    host = F.lower(F.regexp_extract(nofrag, r"^(?i)https?://([A-Za-z0-9.\-]+)", 1))
+    path = F.regexp_extract(nofrag, r"^(?i)https?://[A-Za-z0-9.\-]+(/.*)?$", 1)
+    jvm_canon = F.concat(
+        scheme, F.lit("://"), host, F.when(path == "", "/").otherwise(path)
+    )
+
+    marked = df.withColumn("_fast", fast_ok)
+    fast = marked.filter(F.col("_fast")).withColumn(out_col, jvm_canon)
+    slow = marked.filter(~F.col("_fast")).withColumn(
+        out_col, resolve_canonicalize_udf(base_col, raw_col)
+    )
+    return (
+        fast.unionByName(slow)
+        .filter(F.col(out_col).isNotNull())
+        .drop("_fast")
+    )
 
 
 def url_hash_col(col: Column | str) -> Column:

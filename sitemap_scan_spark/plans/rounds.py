@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.canonicalize import canonicalize_udf, resolve_canonicalize_udf
+from ..functions.canonicalize import canonicalize_udf, with_resolved_canonical
 from ..functions.extract import (
     extract_links_col,
     extract_redirect_col,
@@ -498,15 +498,11 @@ class CrawlEngine:
             (F.col("depth") + 1).alias("cand_depth"),
             F.col("priority").alias("cand_priority"),
         )
-        cands = (
-            links.unionByName(redirects)
-            .select(
-                resolve_canonicalize_udf("base", "raw").alias("url_canon"),
-                "cand_depth",
-                "cand_priority",
-            )
-            .filter(F.col("url_canon").isNotNull())
-        )
+        # resolve+canonicalize: JVM fast path for the common href shapes,
+        # pandas UDF only for the exotic remainder (split+union)
+        cands = with_resolved_canonical(
+            links.unionByName(redirects), "base", "raw", "url_canon"
+        ).select("url_canon", "cand_depth", "cand_priority")
         cands = (
             self._exclude_filter(cands)
             .groupBy("url_canon")

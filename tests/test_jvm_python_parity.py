@@ -109,3 +109,42 @@ def test_resolve_fast_paths_match_urljoin(spark):
     got = {(r.base, r.href): r.c for r in df.collect()}
     for b, h in rows:
         assert got[(b, h)] == canonicalize_one(urljoin(b, h)), (b, h)
+
+
+def test_with_resolved_canonical_matches_udf(spark):
+    """The split JVM-fast/python-slow resolver must equal the pure-UDF path
+    (and therefore urljoin ∘ canonicalize_one) on a dense shape grid."""
+    from urllib.parse import urljoin
+
+    from sitemap_scan_spark.functions.canonicalize import (
+        canonicalize_one,
+        with_resolved_canonical,
+    )
+
+    bases = [
+        "https://h.test/",
+        "https://h.test/dir/page.html",
+        "https://h.test/dir/sub/",
+        "https://h.test:8443/a/b",
+        "https://UPPER.test/Mixed/Case.html",
+    ]
+    hrefs = [
+        "x.html", "X.HTML", "x.html#f", "/root.html", "/", "//other.test/p",
+        "?q=1", "../up.html", "./same.html", "a/../b", "", "#frag",
+        "https://abs.test/x", "HTTPS://CASE.TEST/Y#z", "sub/dir/deep.html",
+        "x%20y.html", "p?b=2&a=1", "x.html?", "mailto:a@b", "javascript:void(0)",
+        "page7.html", "a_b~c-d.html", "a.b.c/d", "x//y.html", "/a//b",
+        "/fr/page.html", "UPPER/Path.html", "with space.html",
+    ]
+    rows = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(rows, "base string, raw string")
+    got = {
+        (r.base, r.raw): r.url_canon
+        for r in with_resolved_canonical(df, "base", "raw").collect()
+    }
+    for b, h in rows:
+        want = canonicalize_one(urljoin(b, h))
+        if want is None:
+            assert (b, h) not in got, (b, h, got.get((b, h)))
+        else:
+            assert got.get((b, h)) == want, (b, h, got.get((b, h)), want)
