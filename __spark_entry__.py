@@ -589,6 +589,27 @@ def q_simhash_groups(spark, sf):
     )
 
 
+def q_json_extract_agg(spark, sf):
+    """F16 surface: JSON field extraction + aggregation over events.props."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+def q_json_normalize(spark, sf):
+    """F16 full normalize (drop dynamic keys, mask dynamic values, stable
+    order) — pandas-UDF operator over events.props; hash for stability."""
+    from sitemap_scan_spark.functions.jsonnorm import normalize_json_udf
+
+    return _t(spark, sf, "events").select(
+        "event_id", F.sha2(normalize_json_udf("props"), 256).alias("norm_hash")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_dequeue": q_frontier_dequeue,
@@ -631,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_magnitude": q_change_magnitude,
         "embedding_ann_topk": q_embedding_ann_topk,
         "simhash_groups": q_simhash_groups,
+        "json_extract_agg": q_json_extract_agg,
+        "json_normalize": q_json_normalize,
     }
 
 
@@ -961,4 +984,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
             FROM sims GROUP BY simhash HAVING count(*) > 1
         """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   round(avg(k), 4) AS avg_k,
+                   max(k) AS max_k,
+                   sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        # json_normalize: python-json re-serialization semantics — rows-only
     }

@@ -200,3 +200,43 @@ class TestNormalize:
         ).select("c", sniff_content_type("c").alias("t"))
         got = {r.c[:5]: r.t for r in df.collect()}
         assert got["<!DOC"] == "html" and got['{"a":'] == "json" and got["hello"] == "text"
+
+
+class TestJsonNorm:
+    def test_normalize_json_scalar(self):
+        from sitemap_scan_spark.functions.jsonnorm import normalize_json_one
+
+        a = '{"b": 1, "csrf": "secret123", "id": "123e4567-e89b-12d3-a456-426614174000", "a": 2}'
+        out = normalize_json_one(a)
+        assert out == '{"a":2,"b":1,"id":"[UUID]"}'
+        # nonce-only difference → identical normalized form
+        b = '{"a": 2, "csrf": "OTHER", "id": "00000000-1111-2222-3333-444444444444", "b": 1}'
+        assert normalize_json_one(b) == out
+        assert normalize_json_one("not json") == "not json"
+        # 'ts' is a dynamic KEY (dropped); a non-dynamic key gets its
+        # timestamp VALUE masked instead
+        assert normalize_json_one('{"ts": "1700000000000"}') == "{}"
+        assert normalize_json_one('{"created": "1700000000000"}') == '{"created":"[TIMESTAMP]"}'
+        assert normalize_json_one('{"nested": {"token": "x", "keep": "y"}}') == '{"nested":{"keep":"y"}}'
+
+    def test_framework_detect_and_patterns(self, spark):
+        from sitemap_scan_spark.functions.jsonnorm import (
+            apply_framework_patterns,
+            detect_framework,
+        )
+
+        rows = [
+            ('<link href="/wp-content/a.css?ver=6.1">',),
+            ('<div data-reactroot=""></div>',),
+            ('<div data-v-1a2b3c4d class="x"></div>',),
+            ("<p>plain</p>",),
+        ]
+        df = spark.createDataFrame(rows, ["html"]).select(
+            "html", detect_framework("html").alias("fw")
+        )
+        got = [r.fw for r in df.collect()]
+        assert sorted(got) == sorted(["wordpress", "react", "vue", "unknown"])
+        red = spark.createDataFrame(rows[:1], ["html"]).select(
+            apply_framework_patterns("html", "wordpress").alias("t")
+        ).collect()[0].t
+        assert "[FW_DYNAMIC]" in red and "?ver=6.1" not in red
