@@ -210,17 +210,12 @@ class CrawlEngine:
             .select("url_canon", "depth", "priority"),
             rnd=0,
         )
-        url_seen_0 = frontier.filter(F.col("status") == "robots_blocked").select(
-            "url_canon",
-            F.lit(0).alias("first_seen_round"),
-            F.lit("robots_blocked").alias("last_status"),
-        )
         frontier = frontier.localCheckpoint(eager=True)
         n = frontier.count()
         n_blocked = frontier.filter(F.col("status") == "robots_blocked").count()
         self.store.commit_round(
             0,
-            {"frontier": frontier, "url_seen": url_seen_0},
+            {"frontier": frontier},
             {
                 "frontier_size": n,
                 "n_blocked": n_blocked,
@@ -355,10 +350,13 @@ class CrawlEngine:
             new_rows = self._gate_inserts(
                 fresh.select("url_canon", "depth", "priority"), latest
             )
-            merged = frontier.unionByName(new_rows)
             # commit as a fresh round so resume semantics stay append-only
             new_round = latest + 1
             self.store.begin_round(new_round)
+            new_rows = self.store.write_table(
+                self.spark, new_round, "frontier_inserts", new_rows
+            )
+            merged = frontier.unionByName(new_rows)
             self.store.write_table(self.spark, new_round, "frontier", merged)
             n_new = self.store.table_rows(new_round, "frontier") - self.store.table_rows(
                 latest, "frontier"
@@ -543,24 +541,8 @@ class CrawlEngine:
             self._bloom.update(new_rows.select("url_canon"))
         _mark("candidates+anti-join+write inserts+bloom")
 
-        # URL-seen delta: dequeued statuses + this round's blocked inserts
-        url_seen_delta = store.write_table(
-            self.spark,
-            rnd,
-            "url_seen",
-            fetch_log.select(
-                "url_canon",
-                F.lit(rnd).alias("first_seen_round"),
-                F.col("status").alias("last_status"),
-            ).unionByName(
-                new_rows.filter(F.col("status") == "robots_blocked").select(
-                    "url_canon",
-                    F.lit(rnd).alias("first_seen_round"),
-                    F.lit("robots_blocked").alias("last_status"),
-                )
-            ),
-        )
-        _mark("write url_seen")
+        # (url_seen is DERIVED from fetch_log + frontier_inserts at read
+        # time — see url_seen(); no separate per-round write)
 
         # 7. frontier snapshot: status transitions (broadcast join against
         # the small per-round dequeued set) + inserts
@@ -576,18 +558,24 @@ class CrawlEngine:
         store.write_table(self.spark, rnd, "frontier", frontier_next)
         _mark("write frontier snapshot")
 
-        # counters from parquet footers + one tiny pyarrow scan (no Spark jobs)
-        import pyarrow.parquet as pq
-
-        status_tbl = pq.read_table(
-            os.path.join(store._dir(rnd), "url_seen"), columns=["last_status"]
-        )
+        # counters from parquet footers + tiny pyarrow scans (no Spark jobs)
         import collections
 
-        by_status = collections.Counter(status_tbl["last_status"].to_pylist())
+        import pyarrow.parquet as pq
+
+        by_status = collections.Counter(
+            pq.read_table(
+                os.path.join(store._dir(rnd), "fetch_log"), columns=["status"]
+            )["status"].to_pylist()
+        )
+        ins_status = collections.Counter(
+            pq.read_table(
+                os.path.join(store._dir(rnd), "frontier_inserts"), columns=["status"]
+            )["status"].to_pylist()
+        )
         counters = {
             "round": rnd,
-            "n_blocked": by_status.get("robots_blocked", 0),
+            "n_blocked": ins_status.get("robots_blocked", 0),
             "n_taken": store.table_rows(rnd, "crawl_order"),
             "n_fetched": by_status.get("fetched", 0),
             "n_miss": by_status.get("miss", 0),
@@ -689,15 +677,37 @@ class CrawlEngine:
         return df.select("round", "rank", "url_canon").orderBy("round", "rank")
 
     def url_seen(self) -> DataFrame:
-        df = self.store.read_deltas(self.spark, "url_seen")
-        assert df is not None
-        # a URL is seen once; keep the earliest round (dedup is a safety net)
-        w = Window.partitionBy("url_canon").orderBy("first_seen_round")
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        """Derived from the per-round deltas (no dedicated table): dequeued
+        URLs from fetch_log, robots-blocked URLs from their insert delta
+        (round 0's inserts ARE its frontier snapshot). A URL appears in
+        exactly one source by construction."""
+        dequeued = self.store.read_deltas(self.spark, "fetch_log")
+        assert dequeued is not None
+        seen = dequeued.select(
+            "url_canon",
+            F.col("round").alias("first_seen_round"),
+            F.col("status").alias("last_status"),
         )
+        blocked0 = (
+            self.store.read_table(self.spark, 0, "frontier")
+            .filter(F.col("status") == "robots_blocked")
+            .select(
+                "url_canon",
+                F.lit(0).alias("first_seen_round"),
+                F.lit("robots_blocked").alias("last_status"),
+            )
+        )
+        seen = seen.unionByName(blocked0)
+        inserts = self.store.read_deltas(self.spark, "frontier_inserts")
+        if inserts is not None:
+            seen = seen.unionByName(
+                inserts.filter(F.col("status") == "robots_blocked").select(
+                    "url_canon",
+                    F.col("discovered_round").alias("first_seen_round"),
+                    F.lit("robots_blocked").alias("last_status"),
+                )
+            )
+        return seen
 
     def fetch_log(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "fetch_log")

@@ -149,7 +149,7 @@ def test_manifest_lineage(engine):
     m = engine.store.read_manifest(1)
     assert m["round"] == 1 and m["parent_round"] == 0
     assert m["counters"]["n_taken"] > 0
-    for t in ("frontier", "crawl_order", "url_seen", "fetch_log"):
+    for t in ("frontier", "crawl_order", "frontier_inserts", "fetch_log"):
         assert m["lineage"][t]["n_files"] >= 1
         assert all(p["rows"] >= 0 for p in m["lineage"][t]["partitions"])
 
