@@ -719,7 +719,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lag_change_flag": """
             SELECT user_id, count(*) AS n_events,
-                   sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS n_changes
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
             FROM (SELECT user_id, value,
                          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                   FROM events)
@@ -737,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "run_counters": """
             SELECT event_type, count(*) AS n,
-                   sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS n_big,
+                   CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                    round(avg(value), 4) AS avg_val,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
@@ -776,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "prev_state_lookup": """
             SELECT l_linestatus, count(*) AS n,
-                   sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_new
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
             FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') o
                  ON l.l_orderkey = o.o_orderkey
             GROUP BY l_linestatus
@@ -955,7 +955,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sessionize": """
-            SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM (
               SELECT user_id,
                      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
@@ -988,7 +988,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(avg(k), 4) AS avg_k,
                    max(k) AS max_k,
-                   sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
             FROM (SELECT event_type,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)

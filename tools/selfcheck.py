@@ -27,8 +27,15 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver-style canonicalization: collapse float noise
-        return f"{v:.6g}"
+        # Driver-strict: full-precision repr, NO collapsing.  An int64 85 and
+        # a float64 85.0 must hash differently (repr '85' vs '85.0') — the
+        # round-1 driver gate failed 5 queries exactly because the old
+        # ``%.6g`` canonicalization hid DuckDB HUGEINT→float64 typing drift.
+        return repr(float(v))
+    if isinstance(v, bool):
+        return repr(bool(v))
+    if isinstance(v, int):
+        return repr(int(v))
     return str(v)
 
 
