@@ -602,11 +602,32 @@ def q_json_extract_agg(spark, sf):
 
 def q_json_normalize(spark, sf):
     """F16 full normalize (drop dynamic keys, mask dynamic values, stable
-    order) — pandas-UDF operator over events.props; hash for stability."""
+    key order — normalizer.ts:118-141,192-249) — pandas-UDF operator.
+
+    Two columns exercise the semantics end-to-end against the DuckDB
+    oracle: ``norm_hash`` normalizes the corpus ``props`` (trivial flat
+    JSON), ``synth_hash`` normalizes a synthetic nested document built
+    deterministically from event columns that hits every rule at once:
+    case-insensitive dynamic-key drop (Token/NONCE), UUID + long-hex +
+    unix-timestamp value masking, nested object/list recursion, and
+    compact sorted re-serialization. The oracle states the expected
+    normalized string directly in SQL."""
     from sitemap_scan_spark.functions.jsonnorm import normalize_json_udf
 
-    return _t(spark, sf, "events").select(
-        "event_id", F.sha2(normalize_json_udf("props"), 256).alias("norm_hash")
+    ev = _t(spark, sf, "events")
+    synth = F.format_string(
+        '{"z": %s, "Token": "drop-me", "a": "u%s",'
+        ' "id": "123e4567-e89b-12d3-a456-426614174000", "h": "%s",'
+        ' "nested": {"NONCE": "n", "b": [%s, "1700000000"]}}',
+        F.col("event_id"),
+        F.col("user_id"),
+        F.md5(F.col("user_id").cast("string")),
+        F.col("event_id") % 7,
+    )
+    return ev.select(
+        "event_id",
+        F.sha2(normalize_json_udf(F.col("props")), 256).alias("norm_hash"),
+        F.sha2(normalize_json_udf(synth), 256).alias("synth_hash"),
     )
 
 
@@ -673,6 +694,40 @@ shingles AS (
     WHERE len(w) >= 3
 )
 """
+
+
+def _ann_topk_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """Exact DuckDB oracle for q_embedding_ann_topk: the seeded hyperplane
+    matrix (numpy RandomState — deterministic across machines) is emitted as
+    literal DOUBLE[] vectors so DuckDB computes the identical sign-bit
+    buckets, probes hamming<=2 around the query's bucket, and ranks the
+    candidates by exact cosine. dim is pinned to the testdata embeddings."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    bucket_terms = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket_expr = "\n                 + ".join(bucket_terms)
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bb AS (
+          SELECT vec_id, e,
+                 {bucket_expr} AS bucket
+          FROM b),
+        q AS (SELECT e AS qe, bucket AS qb FROM bb WHERE vec_id = 0)
+        SELECT bb.vec_id,
+               round(list_dot_product(bb.e, q.qe) /
+                     (sqrt(list_dot_product(bb.e, bb.e)) *
+                      sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos
+        FROM bb, q
+        WHERE bit_count(xor(bb.bucket::BIGINT, q.qb::BIGINT)) <= 2
+        ORDER BY cos DESC, bb.vec_id LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -964,8 +1019,42 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             GROUP BY user_id
         """,
-        # change_magnitude: pandas-UDF operator, intentionally no SQL oracle
-        # embedding_ann_topk: approximate by design — no SQL oracle
+        # F14 shared-prefix/suffix magnitudes, char-wise in SQL: prefix len =
+        # first mismatching position - 1 (min over a position unnest), suffix
+        # scanned over the remaining window from both string ends — the exact
+        # loop semantics of plans/diffing.py:change_magnitude_udf.
+        "change_magnitude": """
+            WITH pairs AS (
+              SELECT a.doc_id AS id_a, a.text AS p, b.text AS c,
+                     least(length(a.text), length(b.text)) AS n
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+              WHERE a.doc_id < 250),
+            pre AS (
+              SELECT id_a,
+                     coalesce(min(CASE WHEN substr(p, i, 1) <> substr(c, i, 1)
+                                       THEN i END) - 1,
+                              any_value(n)) AS pre
+              FROM pairs, unnest(generate_series(1, n)) t(i)
+              GROUP BY id_a),
+            suf AS (
+              SELECT pairs.id_a,
+                     coalesce(min(CASE WHEN substr(p, length(p) - j + 1, 1)
+                                         <> substr(c, length(c) - j + 1, 1)
+                                       THEN j END) - 1,
+                              any_value(n - pre)) AS suf
+              FROM pairs JOIN pre USING (id_a),
+                   unnest(generate_series(1, n - pre)) t(j)
+              GROUP BY pairs.id_a)
+            SELECT pairs.id_a,
+                   CAST(length(c) - coalesce(pre, 0) - coalesce(suf, 0) AS INT) AS added,
+                   CAST(length(p) - coalesce(pre, 0) - coalesce(suf, 0) AS INT) AS removed
+            FROM pairs LEFT JOIN pre USING (id_a) LEFT JOIN suf USING (id_a)
+        """,
+        # Exact oracle of the LSH-ANN path: the 8 seeded hyperplanes are a
+        # deterministic numpy matrix, embedded below as literal DOUBLE[]s, so
+        # DuckDB reproduces bucketing, hamming<=2 probing, and the exact
+        # cosine over candidates (operators/similarity.py:ann_topk).
+        "embedding_ann_topk": _ann_topk_oracle_sql(),
         "simhash_groups": """
             WITH wh AS (
               SELECT doc_id,
@@ -994,5 +1083,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY event_type
         """,
-        # json_normalize: python-json re-serialization semantics — rows-only
+        # F16 full normalize: props is flat {"k": N}; synth exercises
+        # key-drop / masking / nesting / sorted compact re-serialization, and
+        # the oracle states the expected normalized strings directly.
+        "json_normalize": """
+            SELECT event_id,
+                   sha256('{"k":' || json_extract_string(props, '$.k') || '}')
+                     AS norm_hash,
+                   sha256('{"a":"u' || user_id || '","h":"[HEX]","id":"[UUID]",'
+                          || '"nested":{"b":[' || (event_id % 7)
+                          || ',"[TIMESTAMP]"]},"z":' || event_id || '}')
+                     AS synth_hash
+            FROM events
+        """,
     }
