@@ -8,8 +8,10 @@ Layout::
     {root}/round_0007/
         frontier/            parquet snapshot of the FULL frontier
         crawl_order/         this round's dequeue positions (delta)
-        url_seen/            this round's newly-seen URLs (delta)
+        frontier_inserts/    this round's newly-inserted URLs (delta)
         fetch_log/           this round's fetch results (delta)
+        (url_seen is DERIVED at read time from fetch_log +
+         frontier_inserts deltas — no dedicated table is written)
         _manifest.json       committed LAST — counters, row counts,
                              per-partition file lineage, parent round
 
@@ -141,8 +143,8 @@ class RoundStore:
         return spark.read.parquet(os.path.join(self._dir(rnd), name))
 
     def read_deltas(self, spark: SparkSession, name: str) -> DataFrame | None:
-        """Union a delta table (crawl_order / url_seen / fetch_log) across
-        all committed rounds."""
+        """Union a delta table (crawl_order / frontier_inserts / fetch_log)
+        across all committed rounds."""
         paths = [
             os.path.join(self._dir(r), name)
             for r in self.committed_rounds()

@@ -106,28 +106,66 @@ class CrawlEngine:
         self.robots_dim = self._build_robots_dim()
 
     def _build_robots_dim(self) -> DataFrame:
-        """Parse every /robots.txt row in the corpus into the per-host rules
-        dim (host, disallow array, crawl_delay, sitemaps array). Hosts are
-        ≪ URLs, so this collects to the driver once and broadcasts."""
-        rows = (
-            self.pages_canon.filter(F.col("url_canon").rlike(r"^https?://[^/]+/robots\.txt$"))
-            .select("url_canon", "html")
-            .collect()
+        """Parse robots.txt rows into the per-host rules dim
+        (host, disallow array, crawl_delay, sitemaps array).
+
+        DISTRIBUTED: parsing runs in ``mapInPandas`` over the robots subset —
+        at corpus scale hosts number in the millions, so nothing proportional
+        to host count ever reaches the driver (the dim stays a DataFrame;
+        the gate join broadcasts it only while it is actually small).
+
+        Spec-faithful keying (CRAWL_SPEC Discovery 2): rules come from
+        ``https://{host}/robots.txt``; host is extracted with the same
+        port-stripping regex as ``_gate_inserts`` so ported hosts match their
+        rules, and the dim is deduplicated to ONE row per host (the portless
+        https row wins) so the gate's left join can never fan out inserts."""
+        robots = self.pages_canon.filter(
+            F.col("url_canon").rlike(r"^https://[^/?#]+/robots\.txt$")
+        ).select("url_canon", "html")
+
+        def parse_batches(batches):
+            import pandas as pd
+
+            from ..functions.canonicalize import host_of_one
+
+            for pdf in batches:
+                hosts, dis, cds, sms = [], [], [], []
+                for u, h in zip(pdf["url_canon"], pdf["html"]):
+                    text = (
+                        h.decode("utf-8", "replace")
+                        if isinstance(h, (bytes, bytearray))
+                        else (h or "")
+                    )
+                    rules = parse_robots_one(text)
+                    hosts.append(host_of_one(u))
+                    dis.append(rules.disallow)
+                    cds.append(rules.crawl_delay)
+                    sms.append(rules.sitemaps)
+                yield pd.DataFrame(
+                    {
+                        "host": hosts,
+                        "url_canon": pdf["url_canon"],
+                        "disallow": dis,
+                        "crawl_delay": cds,
+                        "sitemaps": sms,
+                    }
+                )
+
+        parsed = robots.mapInPandas(
+            parse_batches,
+            "host string, url_canon string, disallow array<string>, "
+            "crawl_delay int, sitemaps array<string>",
         )
-        parsed = []
-        for r in rows:
-            host = r.url_canon.split("/")[2]
-            rules = parse_robots_one(
-                r.html.decode("utf-8", "replace") if isinstance(r.html, (bytes, bytearray)) else r.html
-            )
-            parsed.append((host, rules.disallow, rules.crawl_delay, rules.sitemaps))
-        if not parsed:
-            return self.spark.createDataFrame(
-                [], "host string, disallow array<string>, crawl_delay int, sitemaps array<string>"
-            )
-        return self.spark.createDataFrame(
-            parsed,
-            "host string, disallow array<string>, crawl_delay int, sitemaps array<string>",
+        portless = F.col("url_canon") == F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/robots.txt")
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("host").orderBy(portless.desc(), "url_canon")
+        )
+        return (
+            parsed.withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .select("host", "disallow", "crawl_delay", "sitemaps")
         )
 
     def _gate_inserts(self, cands: DataFrame, rnd: int) -> DataFrame:
@@ -347,20 +385,36 @@ class CrawlEngine:
                 )
             )
             fresh = exact_anti_join(cands, frontier.select("url_canon"))
-            new_rows = self._gate_inserts(
-                fresh.select("url_canon", "depth", "priority"), latest
-            )
-            # commit as a fresh round so resume semantics stay append-only
+            # commit as a fresh round so resume semantics stay append-only;
+            # inserts are stamped with the round they are COMMITTED in, so
+            # first_seen_round and the dequeue tie-break (discovered_round
+            # asc) rank them after genuine round-`latest` inserts
             new_round = latest + 1
+            new_rows = self._gate_inserts(
+                fresh.select("url_canon", "depth", "priority"), new_round
+            )
             self.store.begin_round(new_round)
             new_rows = self.store.write_table(
                 self.spark, new_round, "frontier_inserts", new_rows
             )
             merged = frontier.unionByName(new_rows)
             self.store.write_table(self.spark, new_round, "frontier", merged)
-            n_new = self.store.table_rows(new_round, "frontier") - self.store.table_rows(
-                latest, "frontier"
+            n_new = self.store.table_rows(new_round, "frontier_inserts")
+            # blocked inserts are seen-but-never-pending: count them from the
+            # delta's parquet footer (same pattern as run_round) so the
+            # arithmetic pending counter can't inflate and stall run()'s
+            # early-termination
+            import collections
+
+            import pyarrow.parquet as pq
+
+            ins_status = collections.Counter(
+                pq.read_table(
+                    os.path.join(self.store._dir(new_round), "frontier_inserts"),
+                    columns=["status"],
+                )["status"].to_pylist()
             )
+            n_blocked_new = ins_status.get("robots_blocked", 0)
             prev_pending = self.store.read_manifest(latest)["counters"].get(
                 "n_pending_after", 0
             )
@@ -371,15 +425,15 @@ class CrawlEngine:
                     "kind": "discovery_refresh",
                     "n_taken": 0,
                     "n_new": n_new,
-                    "n_pending_after": (prev_pending or 0) + n_new,
+                    "n_blocked": n_blocked_new,
+                    "n_pending_after": (prev_pending or 0) + n_new - n_blocked_new,
                 },
             )
             if self._bloom is not None and n_new > 0:
-                self._bloom.update(
-                    self.store.read_table(self.spark, new_round, "frontier").filter(
-                        F.col("discovered_round") == latest
-                    ).select("url_canon")
-                )
+                # feed exactly this refresh's insert delta (blocked included —
+                # they are url_seen), never re-filtered from the merged
+                # frontier where old round-`latest` rows would leak in
+                self._bloom.update(new_rows.select("url_canon"))
 
         state["root_hashes"] = {**stored, **current}
         self._save_discovery_state(state)

@@ -14,32 +14,122 @@ listener-mode incremental discovery). The Spark-native re-expressions:
 - D8/T7 alert throttle    → the same watermarked dedup keyed on signature;
 - A1 counters             → windowed event-time aggregation with watermark.
 
-These run on the same `pages`/frontier delta directories the batch engine
-writes — each committed round's parquet delta is a natural file-source
-micro-batch.
+These run on the same delta directories the batch engine writes — each
+committed round appends ``rounds/round_NNNN/{fetch_log,frontier_inserts}/
+*.parquet``, and each such delta is a natural file-source micro-batch.
+(``url_seen`` itself is DERIVED from those two deltas at read time — there
+is no url_seen table to stream; stream the inserts delta instead.)
+
+``streaming_crawl`` is the streaming-native round driver: a rate-source
+tick stream drives one crawl round per micro-batch through foreachBatch —
+the reference's cron tick → performSiteBackup loop (src/index.ts cron +
+fetcher.ts:101-294) — and provably yields the identical crawl state as the
+batch ``CrawlEngine.run`` loop (tests/test_streaming.py).
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+# schema of the frontier_inserts delta (plans/rounds.py FRONTIER_SCHEMA)
+INSERTS_SCHEMA = (
+    "url_canon string, host string, depth int, priority double, "
+    "discovered_round int, status string, crawl_delay int"
+)
+
 
 def discovered_urls_stream(
     spark: SparkSession,
     delta_glob: str,
-    schema: str = (
-        "url_canon string, first_seen_round int, last_status string"
-    ),
+    schema: str = INSERTS_SCHEMA,
 ) -> DataFrame:
-    """File-source stream over the engine's per-round ``url_seen`` deltas
-    (the listener-mode CDC analog, fetcher.ts:482-505)."""
+    """File-source stream over the engine's per-round ``frontier_inserts``
+    deltas (the listener-mode CDC analog, fetcher.ts:482-505): point
+    ``delta_glob`` at ``{workdir}/rounds/round_*/frontier_inserts`` and each
+    committed round's newly-discovered URLs arrive as a micro-batch. The
+    same shape works for ``fetch_log`` deltas with the fetch_log schema."""
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(delta_glob)
     )
+
+
+def streaming_crawl(
+    engine,
+    seeds: DataFrame,
+    max_rounds: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> list[dict]:
+    """T1/T4 streaming-native round driver: a rate tick source triggers ONE
+    crawl round per micro-batch via ``foreachBatch`` — the Structured
+    Streaming re-expression of the reference's cron-tick loop. Durable
+    round state and resume live in the engine's RoundStore exactly as in
+    batch mode (T2): killing the query and calling streaming_crawl again
+    resumes at the first uncommitted round, and the resulting crawl state
+    (order, url_seen, deltas) is bit-identical to ``CrawlEngine.run``.
+
+    The query self-stops when the frontier drains or ``max_rounds`` commits
+    exist. Returns the per-round stats it drove (like ``run``)."""
+    max_rounds = max_rounds or engine.cfg.max_rounds
+    if engine.store.latest_round() is None:
+        engine.init_frontier(seeds)
+
+    stats: list[dict] = []
+    done = threading.Event()
+    failure: list[BaseException] = []
+
+    def drive_one_round(batch_df: DataFrame, batch_id: int) -> None:
+        # the tick rows themselves carry no data — each micro-batch advances
+        # the crawl by exactly one round, sequentially by construction
+        # (foreachBatch invocations never overlap within a query)
+        try:
+            latest = engine.store.latest_round()
+            rnd = latest + 1
+            prev = engine.store.read_manifest(latest)["counters"].get(
+                "n_pending_after"
+            )
+            if rnd > max_rounds or (prev is not None and prev <= 0):
+                done.set()
+                return
+            if prev is None and (
+                engine.store.read_table(engine.spark, latest, "frontier")
+                .filter(F.col("status") == "pending")
+                .isEmpty()
+            ):
+                done.set()
+                return
+            stats.append(engine.run_round(rnd))
+        except BaseException as e:  # surface errors instead of hanging
+            failure.append(e)
+            done.set()
+            raise
+
+    ticks = (
+        engine.spark.readStream.format("rate")
+        .option("rowsPerSecond", 10)
+        .load()
+    )
+    writer = ticks.writeStream.foreachBatch(drive_one_round).trigger(
+        processingTime="0 seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        while not done.wait(0.1):
+            if not q.isActive:
+                break
+    finally:
+        q.stop()
+        q.awaitTermination()
+    if failure:
+        raise failure[0]
+    return stats
 
 
 def dedup_with_ttl(

@@ -50,6 +50,43 @@ Sitemap: https://x.test/sm2.xml
         r = parse_robots_one("User-agent: *\nDisallow:\nCrawl-delay: abc")
         assert r.disallow == [] and r.crawl_delay is None
 
+    def test_robots_dim_https_only_port_stripped_unique(self, spark, tmp_path):
+        """The rules dim is keyed by port-stripped host with exactly one row
+        per host: https wins over http (CRAWL_SPEC Discovery 2 — rules come
+        from https://{host}/robots.txt), ported robots rows key to the same
+        host the gate extracts, and the gate's left join never fans out."""
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        rows = [
+            ("http://a.test/robots.txt", "1", "User-agent: *\nDisallow: /http-only/", "en"),
+            ("https://a.test/robots.txt", "1", "User-agent: *\nDisallow: /secret/\nCrawl-delay: 4", "en"),
+            ("https://b.test:8080/robots.txt", "1", "User-agent: *\nDisallow: /blocked/", "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts string, html string, lang string"
+        )
+        eng = CrawlEngine(spark, pages, CrawlConfig(), str(tmp_path / "wd"))
+        dim = {r.host: r for r in eng.robots_dim.collect()}
+        assert set(dim) == {"a.test", "b.test"}
+        assert dim["a.test"].disallow == ["/secret/"]  # https row won
+        assert dim["a.test"].crawl_delay == 4
+        assert dim["b.test"].disallow == ["/blocked/"]  # port stripped
+
+        cands = spark.createDataFrame(
+            [
+                ("https://a.test/secret/x", 1, 0.5),
+                ("https://a.test/http-only/x", 1, 0.5),
+                ("https://b.test:8080/blocked/x", 1, 0.5),
+            ],
+            "url_canon string, depth int, priority double",
+        )
+        gated = eng._gate_inserts(cands, rnd=1).collect()
+        assert len(gated) == 3  # one dim row per host → no join fan-out
+        st = {r.url_canon: r.status for r in gated}
+        assert st["https://a.test/secret/x"] == "robots_blocked"
+        assert st["https://a.test/http-only/x"] == "pending"  # http rules ignored
+        assert st["https://b.test:8080/blocked/x"] == "robots_blocked"
+
     def test_gate_jvm_side(self, spark):
         frontier = spark.createDataFrame(
             [

@@ -17,7 +17,7 @@ BASE = "/tmp/ssc_refresh_test"
 CFG = CrawlConfig(base_host_budget=50, round_size=500, max_rounds=3)
 
 
-def _corpus(path: str, lastmod: str, extra_loc: bool = False):
+def _corpus(path: str, lastmod: str, extra_loc: bool = False, blocked_loc: bool = False):
     from sitemap_scan_spark.functions.extract import extract_text_one
 
     os.makedirs(path, exist_ok=True)
@@ -25,6 +25,8 @@ def _corpus(path: str, lastmod: str, extra_loc: bool = False):
     locs = [f"https://{h}/", f"https://{h}/a.html", f"https://{h}/b.html"]
     if extra_loc:
         locs.append(f"https://{h}/brand-new.html")
+    if blocked_loc:
+        locs.append(f"https://{h}/blocked-new.html")
     urlset = (
         "<urlset>"
         + "".join(
@@ -33,6 +35,10 @@ def _corpus(path: str, lastmod: str, extra_loc: bool = False):
         + "</urlset>"
     )
     rows = [(f"https://{h}/sitemap.xml", urlset)]
+    if blocked_loc:
+        rows.append(
+            (f"https://{h}/robots.txt", "User-agent: *\nDisallow: /blocked-new")
+        )
     for u in locs:
         rows.append((u, f"<html><body><p>page {u}</p></body></html>"))
     pdf = pd.DataFrame(
@@ -75,20 +81,49 @@ def test_lastmod_churn_skips_and_new_loc_discovered(spark):
     r2 = eng2b.refresh_discovery()
     assert r2["skipped"] == 1 and r2["re_expanded"] == 0
 
-    # epoch 4: a genuinely new loc appears → re-expand, enqueue exactly it
-    _corpus(f"{BASE}/c3", "2026-03-03", extra_loc=True)
+    # epoch 4: two genuinely new locs appear (one robots-blocked) →
+    # re-expand, enqueue the allowed one, record the blocked one as seen
+    _corpus(f"{BASE}/c3", "2026-03-03", extra_loc=True, blocked_loc=True)
     pages3 = spark.read.parquet(f"{BASE}/c3/pages.parquet")
     eng3 = CrawlEngine(spark, pages3, CFG, wd, refresh_pages=True)
     r3 = eng3.refresh_discovery()
-    assert r3["re_expanded"] == 1 and r3["n_new"] == 1
+    assert r3["re_expanded"] == 1 and r3["n_new"] == 2
     new_round = eng3.store.latest_round()
     assert new_round == latest_before + 1
     frontier = eng3.store.read_table(spark, new_round, "frontier")
-    pend = [
-        x.url_canon for x in frontier.filter("status = 'pending'").collect()
-    ]
-    assert pend == ["https://rf.test/brand-new.html"]
+    by_status = {
+        x.url_canon: x.status
+        for x in frontier.filter(f"discovered_round = {new_round}").collect()
+    }
+    # inserts are stamped with the round they were committed in
+    assert by_status == {
+        "https://rf.test/brand-new.html": "pending",
+        "https://rf.test/blocked-new.html": "robots_blocked",
+    }
+    # the blocked insert must NOT inflate the pending counter: prev run
+    # drained to 0 pending, so after the refresh exactly 1 is pending
+    man = eng3.store.read_manifest(new_round)["counters"]
+    assert man["n_blocked"] == 1
+    assert man["n_pending_after"] == 1
+    # url_seen = dequeued ∪ robots_blocked: the blocked insert is seen at
+    # the round it was COMMITTED in (new_round, not latest); the pending one
+    # is not seen until dequeued
+    seen = {
+        r.url_canon: r.first_seen_round
+        for r in eng3.url_seen().collect()
+        if "new.html" in r.url_canon
+    }
+    assert seen == {"https://rf.test/blocked-new.html": new_round}
 
-    # and the crawl resumes over just the new URL
+    # and the crawl resumes over just the new URL, then terminates
     stats = eng3.run(seeds, max_rounds=new_round + 1)
     assert stats and stats[-1]["n_taken"] == 1
+    seen_after = {
+        r.url_canon: r.first_seen_round
+        for r in eng3.url_seen().collect()
+        if "new.html" in r.url_canon
+    }
+    assert seen_after == {
+        "https://rf.test/blocked-new.html": new_round,
+        "https://rf.test/brand-new.html": new_round + 1,
+    }

@@ -94,6 +94,70 @@ def test_windowed_counters_streaming(spark, dirs):
     assert got.exceptAll(batch_equiv).count() == 0
 
 
+def test_streaming_crawl_matches_batch(spark):
+    """T1/T4 wired end-to-end: the rate-tick foreachBatch round driver
+    produces the IDENTICAL crawl state (order, url_seen, inserts CDC) as the
+    batch CrawlEngine.run loop on the same corpus."""
+    import os
+
+    from sim.genpages import generate
+    from sitemap_scan_spark.config import CrawlConfig
+    from sitemap_scan_spark.plans.rounds import CrawlEngine
+    from sitemap_scan_spark.streaming.stream import (
+        discovered_urls_stream,
+        run_available_now,
+        streaming_crawl,
+    )
+
+    corpus = f"{BASE}/crawl_corpus"
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        generate(corpus, n_hosts=8, mean_pages=30, n_seeds=3, seed=7)
+    cfg = CrawlConfig(base_host_budget=6, round_size=60, max_rounds=5)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus, "seeds.parquet"))
+
+    shutil.rmtree(f"{BASE}/wd_batch", ignore_errors=True)
+    shutil.rmtree(f"{BASE}/wd_stream", ignore_errors=True)
+    batch = CrawlEngine(spark, pages, cfg, f"{BASE}/wd_batch")
+    batch.run(seeds)
+    stream_eng = CrawlEngine(spark, pages, cfg, f"{BASE}/wd_stream")
+    stats = streaming_crawl(
+        stream_eng, seeds, checkpoint_dir=f"{BASE}/wd_stream/tick_ckpt"
+    )
+    assert stats, "streaming driver ran no rounds"
+    assert stream_eng.store.committed_rounds() == batch.store.committed_rounds()
+
+    def order(eng):
+        return sorted(
+            (r.round, r.rank, r.url_canon) for r in eng.crawl_order().collect()
+        )
+
+    def seen(eng):
+        return sorted(
+            (r.url_canon, r.first_seen_round, r.last_status)
+            for r in eng.url_seen().collect()
+        )
+
+    assert order(stream_eng) == order(batch)
+    assert seen(stream_eng) == seen(batch)
+
+    # listener-mode CDC: a file stream over the frontier_inserts deltas
+    # replays every insert the batch engine recorded
+    cdc_in = f"{BASE}/wd_stream/rounds/round_*/frontier_inserts"
+    s = discovered_urls_stream(spark, cdc_in)
+    shutil.rmtree(f"{BASE}/cdc_ckpt", ignore_errors=True)
+    shutil.rmtree(f"{BASE}/cdc_out", ignore_errors=True)
+    run_available_now(s, f"{BASE}/cdc_ckpt", f"{BASE}/cdc_out")
+    got = sorted(
+        r.url_canon for r in spark.read.parquet(f"{BASE}/cdc_out").collect()
+    )
+    want = sorted(
+        r.url_canon
+        for r in stream_eng.store.read_deltas(spark, "frontier_inserts").collect()
+    )
+    assert got == want
+
+
 def test_dedup_with_ttl_state(spark, dirs):
     ev = pd.DataFrame(
         {
