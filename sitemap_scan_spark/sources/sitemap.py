@@ -18,7 +18,7 @@ import re
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -133,30 +133,40 @@ def expand_sitemaps(
     )
 
     to_visit = spark.createDataFrame([(u,) for u in roots], "url_canon string")
-    visited = spark.createDataFrame([], "url_canon string")
-    visited_count: dict[str, int] = {}
+    visited = spark.createDataFrame([], "url_canon string, host string")
     results: list[DataFrame] = []
 
     for _depth in range(cfg.sitemap_max_depth):
         if to_visit.isEmpty():
             break
-        # per-host visited cap (reference: ≤500 per site, fetcher.ts:82)
+        # per-host visited cap (reference: ≤500 per site, fetcher.ts:82) —
+        # DISTRIBUTED: rank the level's candidates per host by url_canon and
+        # keep rank + already-visited-count ≤ cap. Equivalent to the scalar
+        # walk in url_canon order (the cap is per host, so global vs per-host
+        # ordering is indistinguishable), with no driver-side collect —
+        # millions of sitemaps per level never leave the executors.
         lvl = to_visit.withColumn(
             "host", F.regexp_extract("url_canon", r"^https?://([^/:?#]+)", 1)
         )
-        lvl_rows = lvl.select("url_canon", "host").collect()
-        keep: list[str] = []
-        for r in sorted(lvl_rows, key=lambda x: x.url_canon):
-            c = visited_count.get(r.host, 0)
-            if c < cfg.sitemap_max_visited:
-                visited_count[r.host] = c + 1
-                keep.append(r.url_canon)
-        if not keep:
+        counts = visited.groupBy("host").agg(F.count("*").alias("n_seen"))
+        rn = F.row_number().over(Window.partitionBy("host").orderBy("url_canon"))
+        batch = (
+            lvl.withColumn("_rn", rn)
+            .join(counts, "host", "left")
+            .filter(
+                F.col("_rn") + F.coalesce(F.col("n_seen"), F.lit(0))
+                <= cfg.sitemap_max_visited
+            )
+            .select("url_canon", "host")
+            # materialize per level: truncates the union/anti-join lineage
+            # that otherwise deepens every BFS iteration
+            .localCheckpoint(eager=True)
+        )
+        if batch.isEmpty():
             break
-        batch = spark.createDataFrame([(u,) for u in keep], "url_canon string")
-        visited = visited.union(batch).distinct()
+        visited = visited.unionByName(batch).localCheckpoint(eager=True)
 
-        fetched = batch.join(sm_pages, "url_canon", "inner").select(
+        fetched = batch.select("url_canon").join(sm_pages, "url_canon", "inner").select(
             "url_canon", "html"
         )
         parsed = fetched.mapInPandas(
@@ -186,7 +196,7 @@ def expand_sitemaps(
             exploded.filter(F.col("kind") == "index")
             .select("url_canon")
             .distinct()
-            .join(visited, "url_canon", "left_anti")
+            .join(visited.select("url_canon"), "url_canon", "left_anti")
         )
         to_visit = children
 
