@@ -48,3 +48,7 @@ class CrawlConfig:
     # more than the plain anti-join they'd accelerate (exact join is always
     # the correctness backstop)
     bloom_min_frontier: int = 2_000_000
+    # URL-seen bloom shards (bloom-per-bucket): at 10^10 keys use ~1024 so
+    # each shard's bitmap stays ~10 MB; locally 16 keeps per-shard sizing
+    # honest without per-round overhead
+    bloom_shards: int = 16

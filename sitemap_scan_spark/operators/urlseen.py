@@ -15,10 +15,11 @@ The reference's incremental-discovery core is a set-membership filter
   Bloom false positives can never drop a URL (SURVEY §7.3 risk 3).
 
 Scale note (10^10 seen URLs): a single bitmap at 10 bits/key is ~12 GB —
-too big to broadcast. The scale path is the same code over a frontier
-partitioned by ``pmod(xxhash64(url), P)`` with one bloom per partition and
-the probe routed by the same pmod (bloom-per-bucket); locally we size one
-bitmap from the observed count.
+too big to broadcast or OR-merge on one driver. :class:`ShardedBloom` is
+the scale path: the key space sharded by ``pmod(xxhash64(url, 2), P)``,
+one independently-built/shipped bitmap per shard, probes routed by the
+same pmod. :class:`IncrementalBloom` (single bitmap) remains as the
+small-scale variant and the equivalence baseline in tests.
 """
 
 from __future__ import annotations
@@ -30,7 +31,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, BooleanType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
 def _bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -117,6 +124,127 @@ class IncrementalBloom:
         )
         definite_new = with_flag.filter(~F.col("_maybe")).drop("_h1", "_h2", "_maybe")
         needs_check = with_flag.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+        checked = needs_check.join(seen.select(col), col, "left_anti")
+        return definite_new.unionByName(checked)
+
+
+class ShardedBloom:
+    """Bloom-per-bucket URL-seen (SCALE_DESIGN.md D3; reference set-membership
+    at planetary scale: fetcher.ts:497-505).
+
+    The key space is sharded by ``pmod(xxhash64(url_canon, 2), P)`` — a hash
+    independent of the in-shard double-hash pair — and each shard owns a
+    bitmap sized for ``expected_total / P``. Why: at 10^10 keys a single
+    1%-fpp bitmap is ~12 GB (unbroadcastable, un-OR-able on one driver);
+    1024 shards of ~12 MB are built from per-partition partials, OR-merged,
+    persisted and shipped INDEPENDENTLY. Probes are routed by the same pmod
+    (repartition on the shard id), so a probe task touches exactly one
+    shard's bitmap — and a shard whose candidates are all bloom-negative
+    contributes zero rows to the exact anti-join backstop, skipping that
+    bucket's join shuffle entirely (bench.py measures the skipped fraction).
+
+    Functionally identical output to :class:`IncrementalBloom`
+    (test-asserted): same double-hash positions within a shard, same exact
+    left-anti backstop, so false positives can never drop a URL."""
+
+    ROUTE_SEED = 2  # xxhash64(col, 2): independent of _h1/_h2 seeds (0, 1)
+
+    def __init__(self, expected_total: int, n_shards: int = 16, fpp: float = 0.01):
+        self.n_shards = max(1, n_shards)
+        self.m, self.k = _bloom_params(
+            max(1, expected_total // self.n_shards), fpp
+        )
+        self.shards = {
+            s: np.zeros(self.m // 8, dtype=np.uint8) for s in range(self.n_shards)
+        }
+
+    def _with_route(self, df: DataFrame, col: str) -> DataFrame:
+        return _with_hashes(df, col).withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(col), F.lit(self.ROUTE_SEED)),
+                             F.lit(self.n_shards)).cast("int")
+        )
+
+    def update(self, df: DataFrame, col: str = "url_canon") -> None:
+        """OR-merge ``df[col]`` into the per-shard bitmaps: executors emit
+        (shard, partial-bitmap) rows — each partial is one shard's slice, so
+        nothing the size of the FULL filter is ever built in one task."""
+        m, k = self.m, self.k
+        schema = StructType(
+            [StructField("shard", IntegerType()), StructField("bits", BinaryType())]
+        )
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for shard, grp in pdf.groupby("_shard"):
+                    bits = acc.setdefault(int(shard), np.zeros(m // 8, dtype=np.uint8))
+                    pos = _positions(
+                        grp["_h1"].to_numpy(), grp["_h2"].to_numpy(), k, m
+                    ).ravel()
+                    np.bitwise_or.at(
+                        bits, pos >> np.uint64(3),
+                        (1 << (pos & np.uint64(7))).astype(np.uint8),
+                    )
+            if acc:
+                yield pd.DataFrame(
+                    {"shard": list(acc), "bits": [b.tobytes() for b in acc.values()]}
+                )
+
+        partials = (
+            self._with_route(df.select(col), col)
+            .select("_shard", "_h1", "_h2")
+            .mapInPandas(partial, schema)
+        )
+        for row in partials.collect():
+            self.shards[row.shard] |= np.frombuffer(row.bits, dtype=np.uint8)
+
+    def split(
+        self, candidates: DataFrame, col: str = "url_canon"
+    ) -> tuple[DataFrame, DataFrame]:
+        """→ (definite_new, needs_check): probes routed by shard id so each
+        Arrow batch touches one shard's bitmap (the scale path reads shards
+        from independent files; locally they travel in one broadcast dict)."""
+        spark = candidates.sparkSession
+        bc = spark.sparkContext.broadcast(
+            {s: b.tobytes() for s, b in self.shards.items()}
+        )
+        m, k = self.m, self.k
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
+            out = np.zeros(len(h1), dtype=bool)
+            h1v, h2v = h1.to_numpy(), h2.to_numpy()
+            for s in pd.unique(shard):
+                sel = (shard == s).to_numpy()
+                bits = np.frombuffer(bc.value[int(s)], dtype=np.uint8)
+                pos = _positions(h1v[sel], h2v[sel], k, m)
+                hit = (
+                    bits[pos >> np.uint64(3)]
+                    & (1 << (pos & np.uint64(7))).astype(np.uint8)
+                ) != 0
+                out[sel] = hit.all(axis=0)
+            return pd.Series(out)
+
+        routed = self._with_route(candidates, col).repartition(
+            self.n_shards, "_shard"
+        )
+        with_flag = routed.withColumn("_maybe", maybe_seen("_h1", "_h2", "_shard"))
+        definite_new = with_flag.filter(~F.col("_maybe")).drop(
+            "_h1", "_h2", "_shard", "_maybe"
+        )
+        needs_check = with_flag.filter(F.col("_maybe")).drop(
+            "_h1", "_h2", "_shard", "_maybe"
+        )
+        return definite_new, needs_check
+
+    def prefiltered_anti_join(
+        self, candidates: DataFrame, seen: DataFrame, col: str = "url_canon"
+    ) -> DataFrame:
+        """candidates ∖ seen: Bloom-negative rows pass immediately; only
+        Bloom-positive rows go through the exact left_anti backstop."""
+        definite_new, needs_check = self.split(candidates, col)
         checked = needs_check.join(seen.select(col), col, "left_anti")
         return definite_new.unionByName(checked)
 

@@ -40,7 +40,7 @@ from ..functions.extract import (
     extract_text_col,
 )
 from ..operators.frontier import dequeue
-from ..operators.urlseen import IncrementalBloom, exact_anti_join
+from ..operators.urlseen import ShardedBloom, exact_anti_join
 from ..sources.robots import parse_robots_one
 from ..sources.sitemap import expand_sitemaps
 from .checkpoint import RoundStore
@@ -66,7 +66,7 @@ class CrawlEngine:
         self.workdir = workdir
         self.store = RoundStore(os.path.join(workdir, "rounds"))
         self.use_bloom = use_bloom
-        self._bloom: IncrementalBloom | None = None
+        self._bloom: ShardedBloom | None = None
         # frontier snapshot cached hash-partitioned on url_canon between
         # rounds: the anti-join and the status-update join then reuse the
         # partitioning instead of reshuffling the full frontier every round
@@ -576,7 +576,9 @@ class CrawlEngine:
                 # full-frontier pass seeds the filter; afterwards it is
                 # OR-updated with each round's insert delta only.
                 est = max(self.pages_canon.count() * 2, 1 << 16)
-                self._bloom = IncrementalBloom(expected_total=est)
+                self._bloom = ShardedBloom(
+                    expected_total=est, n_shards=self.cfg.bloom_shards
+                )
                 self._bloom.update(frontier.select("url_canon"))
             fresh = self._bloom.prefiltered_anti_join(
                 cands, frontier.select("url_canon")

@@ -241,6 +241,65 @@ class TestBloom:
         want = exact_anti_join(cands, all_seen)
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
+    def test_sharded_identical_to_single_bitmap(self, spark):
+        """Bloom-per-bucket == single bitmap == exact join, bit-for-bit, and
+        incrementally updated the same way (SCALE_DESIGN.md D3)."""
+        from sitemap_scan_spark.operators.urlseen import ShardedBloom
+
+        seen1 = spark.range(0, 1500).select(
+            F.concat(F.lit("https://sh.test/"), F.col("id")).alias("url_canon")
+        )
+        seen2 = spark.range(1500, 2500).select(
+            F.concat(F.lit("https://sh.test/"), F.col("id")).alias("url_canon")
+        )
+        single = IncrementalBloom(expected_total=20000)
+        sharded = ShardedBloom(expected_total=20000, n_shards=8)
+        for b in (single, sharded):
+            b.update(seen1)
+            b.update(seen2)
+        all_seen = seen1.union(seen2)
+        cands = spark.range(2000, 4000).select(
+            F.concat(F.lit("https://sh.test/"), F.col("id")).alias("url_canon")
+        )
+        got_sharded = sorted(
+            r.url_canon
+            for r in sharded.prefiltered_anti_join(cands, all_seen).collect()
+        )
+        got_single = sorted(
+            r.url_canon
+            for r in single.prefiltered_anti_join(cands, all_seen).collect()
+        )
+        want = sorted(
+            r.url_canon for r in exact_anti_join(cands, all_seen).collect()
+        )
+        assert got_sharded == want
+        assert got_single == want
+
+    def test_sharded_split_skips_negative_candidates(self, spark):
+        """The routed split keeps bloom-negative rows out of the exact join:
+        needs_check must contain every truly-seen candidate (no false
+        negatives ever) and at 1% fpp only a tiny false-positive overhang."""
+        from sitemap_scan_spark.operators.urlseen import ShardedBloom
+
+        seen = spark.range(0, 3000).select(
+            F.concat(F.lit("https://sk.test/"), F.col("id")).alias("url_canon")
+        )
+        bloom = ShardedBloom(expected_total=30000, n_shards=8)
+        bloom.update(seen)
+        cands = spark.range(2500, 6000).select(
+            F.concat(F.lit("https://sk.test/"), F.col("id")).alias("url_canon")
+        )  # 500 seen + 3000 new
+        definite_new, needs_check = bloom.split(cands)
+        nc = {r.url_canon for r in needs_check.collect()}
+        dn = {r.url_canon for r in definite_new.collect()}
+        truly_seen = {f"https://sk.test/{i}" for i in range(2500, 3000)}
+        assert truly_seen <= nc  # zero false negatives
+        assert not (truly_seen & dn)
+        assert len(nc) + len(dn) == 3500
+        # the exact-join input is ~the seen overlap, not the candidate set:
+        # the 3000 new URLs skip the shuffle (1% fpp → ~30 strays allowed)
+        assert len(nc) <= 500 + 120
+
 
 class TestCanonicalizeUdfNulls:
     def test_invalid_inputs_dropped(self, spark):
