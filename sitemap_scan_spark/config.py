@@ -52,3 +52,9 @@ class CrawlConfig:
     # each shard's bitmap stays ~10 MB; locally 16 keeps per-shard sizing
     # honest without per-round overhead
     bloom_shards: int = 16
+    # write a FULL frontier snapshot every K rounds; in between, rounds
+    # commit only deltas (frontier_inserts + fetch_log) and readers
+    # reconstruct a latest-wins view — per-round bytes written scale with
+    # the ROUND, not the frontier (at 10^10 rows a per-round snapshot is
+    # ~1.2 TB of parquet). 1 = snapshot every round (the old behavior).
+    frontier_compact_every: int = 8

@@ -139,6 +139,9 @@ class RoundStore:
         with open(os.path.join(self._dir(rnd), "_manifest.json")) as f:
             return json.load(f)
 
+    def has_table(self, rnd: int, name: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(rnd), name, "_SUCCESS"))
+
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._dir(rnd), name))
 

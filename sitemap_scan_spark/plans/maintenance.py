@@ -25,14 +25,22 @@ def expire_rounds(store: RoundStore, keep_last: int) -> list[int]:
     """K5: drop the delta directories of all but the newest ``keep_last``
     committed rounds, keeping the latest frontier snapshot intact (whole-
     directory drops — the partition-drop fast path, no data rewritten).
-    Returns the expired round numbers."""
+    Returns the expired round numbers.
+
+    Delta-commit safety: rounds newer than the newest full frontier snapshot
+    are never expired — their fetch_log/frontier_inserts deltas are the only
+    material from which the current frontier state can be reconstructed."""
     rounds = store.committed_rounds()
     expire = rounds[:-keep_last] if keep_last > 0 else rounds
     latest = rounds[-1] if rounds else None
+    snapshots = [r for r in rounds if store.has_table(r, "frontier")]
+    base = snapshots[-1] if snapshots else 0
     expired = []
     for r in expire:
         if r == latest or r == 0:
             continue  # never drop the resume point or the initial frontier
+        if r > base:
+            continue  # delta still needed to reconstruct the frontier view
         d = store._dir(r)
         for name in ("crawl_order", "fetch_log", "url_seen", "frontier_inserts", "frontier"):
             p = os.path.join(d, name)

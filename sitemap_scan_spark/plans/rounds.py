@@ -272,19 +272,70 @@ class CrawlEngine:
         )
         return {"frontier_size": n}
 
+    def frontier_at(self, rnd: int) -> DataFrame:
+        """The frontier STATE as of round ``rnd``.
+
+        Rounds commit deltas, not snapshots (SCALE_DESIGN.md: a per-round
+        full rewrite is O(frontier) — ~1.2 TB/round at 10^10 rows; the delta
+        commit is O(round)). A full snapshot exists every
+        ``cfg.frontier_compact_every`` rounds (plus round 0 and refresh
+        rounds); in between the view is reconstructed latest-wins:
+
+            base snapshot (newest ≤ rnd)
+            ∪ frontier_inserts deltas (base, rnd]
+            ← status updates from fetch_log deltas (base, rnd]
+
+        A url_canon is dequeued at most once, so the per-URL update is
+        unique; max(round) keeps the semantics safe if that ever changes."""
+        store = self.store
+        if store.has_table(rnd, "frontier"):
+            return store.read_table(self.spark, rnd, "frontier")
+        bases = [
+            r for r in store.committed_rounds()
+            if r <= rnd and store.has_table(r, "frontier")
+        ]
+        if not bases:
+            raise RuntimeError(f"no frontier snapshot at or before round {rnd}")
+        base = bases[-1]
+        rows = store.read_table(self.spark, base, "frontier")
+        upd_parts = []
+        for r in range(base + 1, rnd + 1):
+            if store.has_table(r, "frontier_inserts"):
+                rows = rows.unionByName(
+                    store.read_table(self.spark, r, "frontier_inserts")
+                )
+            if store.has_table(r, "fetch_log"):
+                upd_parts.append(
+                    store.read_table(self.spark, r, "fetch_log").select(
+                        "url_canon", F.col("status").alias("_new_status"), "round"
+                    )
+                )
+        if upd_parts:
+            upd = upd_parts[0]
+            for p in upd_parts[1:]:
+                upd = upd.unionByName(p)
+            latest_w = Window.partitionBy("url_canon").orderBy(F.col("round").desc())
+            upd = (
+                upd.withColumn("_rn", F.row_number().over(latest_w))
+                .filter(F.col("_rn") == 1)
+                .select("url_canon", "_new_status")
+            )
+            rows = (
+                rows.join(upd, "url_canon", "left")
+                .withColumn("status", F.coalesce("_new_status", "status"))
+                .drop("_new_status")
+            )
+        return rows
+
     def _frontier(self, rnd: int) -> DataFrame:
-        """The frontier snapshot of round ``rnd``, cached hash-partitioned on
+        """The frontier state of round ``rnd``, cached hash-partitioned on
         url_canon (one shuffle per round instead of one per consumer)."""
         if self._frontier_cache is not None and self._frontier_cache_round == rnd:
             return self._frontier_cache
         if self._frontier_cache is not None:
             self._frontier_cache.unpersist()
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        df = (
-            self.store.read_table(self.spark, rnd, "frontier")
-            .repartition(n, "url_canon")
-            .persist()
-        )
+        df = self.frontier_at(rnd).repartition(n, "url_canon").persist()
         self._frontier_cache = df
         self._frontier_cache_round = rnd
         return df
@@ -376,7 +427,7 @@ class CrawlEngine:
         n_new = 0
         if changed_roots:
             locs = expand_sitemaps(self.spark, self.pages_canon, changed_roots, self.cfg)
-            frontier = self.store.read_table(self.spark, latest, "frontier")
+            frontier = self.frontier_at(latest)
             cands = self._exclude_filter(
                 locs.select(
                     "url_canon",
@@ -427,6 +478,7 @@ class CrawlEngine:
                     "n_new": n_new,
                     "n_blocked": n_blocked_new,
                     "n_pending_after": (prev_pending or 0) + n_new - n_blocked_new,
+                    "frontier_size": self.store.table_rows(new_round, "frontier"),
                 },
             )
             if self._bloom is not None and n_new > 0:
@@ -568,7 +620,11 @@ class CrawlEngine:
         # shuffle anti-join handles cheaply; below the threshold its two
         # extra jobs/round are pure overhead (SURVEY §4.3 — the exact
         # anti-join is always the correctness backstop either way).
-        frontier_size = store.table_rows(rnd - 1, "frontier")  # footers only
+        # tracked arithmetically in the manifest (no frontier scan); footer
+        # fallback for stores written before the delta-commit scheme
+        frontier_size = store.read_manifest(rnd - 1)["counters"].get("frontier_size")
+        if frontier_size is None:
+            frontier_size = store.table_rows(rnd - 1, "frontier")
         use_bloom_now = self.use_bloom and frontier_size >= self.cfg.bloom_min_frontier
         if use_bloom_now:
             if self._bloom is None:
@@ -600,19 +656,25 @@ class CrawlEngine:
         # (url_seen is DERIVED from fetch_log + frontier_inserts at read
         # time — see url_seen(); no separate per-round write)
 
-        # 7. frontier snapshot: status transitions (broadcast join against
-        # the small per-round dequeued set) + inserts
-        updates = fetch_log.select(
-            "url_canon", F.col("status").alias("new_status")
-        )
-        frontier_next = (
-            frontier.join(F.broadcast(updates), "url_canon", "left")
-            .withColumn("status", F.coalesce("new_status", "status"))
-            .drop("new_status")
-            .unionByName(new_rows)
-        )
-        store.write_table(self.spark, rnd, "frontier", frontier_next)
-        _mark("write frontier snapshot")
+        # 7. frontier commit: the round's deltas (fetch_log status updates +
+        # frontier_inserts) ARE the commit — per-round bytes written scale
+        # with the round, not the frontier. Every cfg.frontier_compact_every
+        # rounds the latest-wins view is compacted into a full snapshot so
+        # reconstruction depth stays bounded (and old deltas become
+        # expirable).
+        k = max(1, self.cfg.frontier_compact_every)
+        if rnd % k == 0:
+            updates = fetch_log.select(
+                "url_canon", F.col("status").alias("new_status")
+            )
+            frontier_next = (
+                frontier.join(F.broadcast(updates), "url_canon", "left")
+                .withColumn("status", F.coalesce("new_status", "status"))
+                .drop("new_status")
+                .unionByName(new_rows)
+            )
+            store.write_table(self.spark, rnd, "frontier", frontier_next)
+            _mark("compact frontier snapshot")
 
         # counters from parquet footers + tiny pyarrow scans (no Spark jobs)
         import collections
@@ -638,6 +700,7 @@ class CrawlEngine:
             "n_redirect": by_status.get("redirect", 0),
             "n_new": store.table_rows(rnd, "frontier_inserts"),
         }
+        counters["frontier_size"] = frontier_size + counters["n_new"]
         # pending is tracked arithmetically so run() never rescans the
         # frontier just to decide termination
         prev_pending = store.read_manifest(rnd - 1)["counters"].get("n_pending_after")
@@ -668,7 +731,7 @@ class CrawlEngine:
                 if prev <= 0:
                     break
             elif (
-                self.store.read_table(self.spark, rnd - 1, "frontier")
+                self.frontier_at(rnd - 1)
                 .filter(F.col("status") == "pending")
                 .isEmpty()
             ):
@@ -685,9 +748,7 @@ class CrawlEngine:
             return {"round": None, "status": "not_started"}
         m = self.store.read_manifest(latest)
         pending = (
-            self.store.read_table(self.spark, latest, "frontier")
-            .filter(F.col("status") == "pending")
-            .count()
+            self.frontier_at(latest).filter(F.col("status") == "pending").count()
         )
         return {
             "round": latest,
@@ -710,7 +771,7 @@ class CrawlEngine:
         latest = self.store.latest_round()
         if latest is None:
             raise RuntimeError("overview needs an initialized crawl")
-        frontier = self.store.read_table(self.spark, latest, "frontier")
+        frontier = self.frontier_at(latest)
         return (
             frontier.groupBy("host")
             .agg(

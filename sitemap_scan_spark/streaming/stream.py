@@ -97,7 +97,7 @@ def streaming_crawl(
                 done.set()
                 return
             if prev is None and (
-                engine.store.read_table(engine.spark, latest, "frontier")
+                engine.frontier_at(latest)
                 .filter(F.col("status") == "pending")
                 .isEmpty()
             ):

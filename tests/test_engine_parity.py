@@ -149,9 +149,45 @@ def test_manifest_lineage(engine):
     m = engine.store.read_manifest(1)
     assert m["round"] == 1 and m["parent_round"] == 0
     assert m["counters"]["n_taken"] > 0
-    for t in ("frontier", "crawl_order", "frontier_inserts", "fetch_log"):
+    # rounds commit DELTAS (full frontier snapshots only every
+    # cfg.frontier_compact_every rounds — round 1 has none)
+    for t in ("crawl_order", "frontier_inserts", "fetch_log"):
         assert m["lineage"][t]["n_files"] >= 1
         assert all(p["rows"] >= 0 for p in m["lineage"][t]["partitions"])
+    assert "frontier" not in m["lineage"]
+    assert m["counters"]["frontier_size"] > 0
+
+
+def test_frontier_delta_commits_match_snapshots(spark, corpus_dir):
+    """The latest-wins reconstructed frontier view (delta commits, K=3) is
+    row-identical to the snapshot-every-round engine (K=1) at EVERY round,
+    and the crawl outputs are identical."""
+    import dataclasses
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    engines = {}
+    for k in (1, 3):
+        wd = f"/tmp/ssc_engine_compact_k{k}"
+        shutil.rmtree(wd, ignore_errors=True)
+        cfg = dataclasses.replace(CFG, frontier_compact_every=k, max_rounds=5)
+        eng = CrawlEngine(spark, pages, cfg, wd)
+        eng.run(seeds)
+        engines[k] = eng
+    e1, e3 = engines[1], engines[3]
+    assert e1.store.committed_rounds() == e3.store.committed_rounds()
+    for rnd in e1.store.committed_rounds():
+        a = sorted(map(tuple, e1.frontier_at(rnd).collect()))
+        b = sorted(map(tuple, e3.frontier_at(rnd).collect()))
+        assert a == b, f"frontier view diverges at round {rnd}"
+        # manifest-tracked size == actual view size (no drift)
+        assert len(a) == e3.store.read_manifest(rnd)["counters"]["frontier_size"]
+    assert sorted(map(tuple, e1.crawl_order().collect())) == sorted(
+        map(tuple, e3.crawl_order().collect())
+    )
+    assert sorted(map(tuple, e1.url_seen().collect())) == sorted(
+        map(tuple, e3.url_seen().collect())
+    )
 
 
 def test_alternate_seed_parity(spark):
