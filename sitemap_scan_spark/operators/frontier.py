@@ -42,36 +42,103 @@ def include_filter(
     return df.filter(F.col(col).rlike("(?i)(" + "|".join(parts) + ")"))
 
 
+def parallel_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_name: str = "rank",
+    start: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Global contiguous rank WITHOUT a single-partition merge (the naive
+    ``Window.orderBy(global)`` funnels every row through ONE task):
+
+    1. range-repartition on the order key (parallel total sort),
+    2. per-range-bucket row_number (parallel windows),
+    3. global rank = local rank + broadcast cumulative bucket offsets
+       (one tiny count job) — contiguous, deterministic, never serial.
+
+    Returns (ranked_df, persisted_handle, total_rows); the caller unpersists
+    the handle after materializing."""
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = df.repartitionByRange(n_buckets, *order_cols).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    bucketed = bucketed.persist()
+    sizes = {
+        r._bucket: r["count"]
+        for r in bucketed.groupBy("_bucket").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_bucket"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w_local = Window.partitionBy("_bucket").orderBy(*order_cols)
+    ranked = bucketed.withColumn(
+        rank_name,
+        (F.row_number().over(w_local) + offset_expr + F.lit(start - 1)).cast("int"),
+    ).drop("_bucket")
+    return ranked, bucketed, acc
+
+
+def with_revisit_seq(
+    snapshot: DataFrame, col: str = "url_canon"
+) -> tuple[DataFrame, int]:
+    """Assign the persisted 0-based ``seq`` ONCE at snapshot build (parallel
+    global rank — never a single-task window). Persist/write the result and
+    every subsequent :func:`revisit_batch` over it is a pure range filter.
+    Returns (snapshot_with_seq, total_rows)."""
+    ranked, handle, total = parallel_global_rank(
+        snapshot, [F.col(col).asc()], rank_name="seq", start=0
+    )
+    ranked._ssc_persisted = handle
+    return ranked, total
+
+
 def revisit_batch(
     snapshot: DataFrame,
     cursor: int,
     batch_size: int,
     col: str = "url_canon",
+    total: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """W9 (``getSitemapListenerBatch``, fetcher.ts:507-559): rolling
     wrap-around recheck over the sorted canonical snapshot —
     rows [cursor, cursor+batch) mod total, new cursor wraps to 0.
 
-    Returns (batch_df, new_cursor, total). The global row_number is bounded
-    by a pre-filter in the wrap-free case; at 10^10 scale the snapshot
-    carries a persisted ``seq`` column instead (assigned once at snapshot
-    build), making this a pure range filter."""
-    total = snapshot.count()
+    Returns (batch_df, new_cursor, total). If the snapshot carries a
+    persisted ``seq`` column (from :func:`with_revisit_seq`, assigned once
+    at snapshot build) the batch is a PURE RANGE FILTER — no shuffle, no
+    window; pass ``total`` too and the call plans zero extra jobs. Without
+    ``seq`` the rank is computed on the fly with the parallel global rank —
+    never a single-partition ``Window.orderBy``."""
+    if "seq" not in snapshot.columns:
+        snapshot, total = with_revisit_seq(snapshot, col)
+    if total is None:
+        total = snapshot.count()
     if total == 0:
-        return snapshot, 0, 0
+        return snapshot.drop("seq"), 0, 0
     cursor = cursor % total
     end = cursor + batch_size
-    w = Window.orderBy(F.col(col).asc())
-    numbered = snapshot.withColumn("_rn", F.row_number().over(w) - 1)
     if end <= total:
-        batch = numbered.filter((F.col("_rn") >= cursor) & (F.col("_rn") < end))
+        batch = snapshot.filter((F.col("seq") >= cursor) & (F.col("seq") < end))
         new_cursor = end % total
     else:  # wrap
-        batch = numbered.filter(
-            (F.col("_rn") >= cursor) | (F.col("_rn") < end - total)
+        batch = snapshot.filter(
+            (F.col("seq") >= cursor) | (F.col("seq") < end - total)
         )
         new_cursor = end - total
-    return batch.drop("_rn"), new_cursor, total
+    return batch.drop("seq"), new_cursor, total
 
 
 def order_key() -> list[Column]:
@@ -122,45 +189,12 @@ def dequeue(
         .drop("_r2", "_budget")
     )
 
-    # Global rank + cap WITHOUT a single-partition merge (the naive
-    # Window.orderBy(global) funnels every survivor through ONE task):
-    # 1. range-repartition on the order key (parallel total sort),
-    # 2. per-range-bucket row_number (parallel windows),
-    # 3. global rank = local rank + broadcast cumulative bucket offsets
-    #    (one tiny count job) — contiguous, deterministic, never serial.
-    spark = survivors.sparkSession
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    bucketed = survivors.repartitionByRange(n_buckets, *order_key()).withColumn(
-        "_bucket", F.spark_partition_id()
+    # Global rank + cap via the parallel global rank (range repartition +
+    # bucket offsets) — never a single-partition Window.orderBy merge.
+    ranked, bucketed, _total = parallel_global_rank(
+        survivors, order_key(), rank_name="rank", start=1
     )
-    bucketed = bucketed.persist()
-    sizes = {
-        r._bucket: r["count"]
-        for r in bucketed.groupBy("_bucket").count().collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(sizes):
-        offsets[b] = acc
-        acc += sizes[b]
-    offset_expr = (
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-            ),
-            F.col("_bucket"),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    w_local = Window.partitionBy("_bucket").orderBy(*order_key())
-    ranked = (
-        bucketed.withColumn(
-            "rank", (F.row_number().over(w_local) + offset_expr).cast("int")
-        )
-        .filter(F.col("rank") <= round_size)
-        .drop("_bucket")
-    )
+    ranked = ranked.filter(F.col("rank") <= round_size)
     # expose the cached intermediate so the caller can unpersist after
     # materializing (at most one round's survivors ever sit in cache)
     ranked._ssc_persisted = bucketed

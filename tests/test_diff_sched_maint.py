@@ -223,6 +223,29 @@ class TestFrontierExtras:
             "https://a/09",
         ]
 
+    def test_revisit_persisted_seq_pure_range_filter(self, spark):
+        """The scale path: assign seq once with with_revisit_seq, then every
+        batch is a range filter over it — identical output to the on-the-fly
+        path, and the plan contains no window/exchange at batch time."""
+        from sitemap_scan_spark.operators.frontier import with_revisit_seq
+
+        snap = spark.createDataFrame(
+            [(f"https://a/{i:02d}",) for i in range(10)], "url_canon string"
+        )
+        seq_snap, total = with_revisit_seq(snap)
+        seq_snap = seq_snap.localCheckpoint(eager=True)  # "persisted" column
+        assert total == 10
+        for cursor, size in [(0, 4), (8, 4), (3, 10), (0, 12)]:
+            fast, fc, ft = revisit_batch(seq_snap, cursor, size, total=total)
+            slow, sc, st = revisit_batch(snap, cursor, size)
+            assert (fc, ft) == (sc, st)
+            assert sorted(r.url_canon for r in fast.collect()) == sorted(
+                r.url_canon for r in slow.collect()
+            )
+        plan = revisit_batch(seq_snap, 2, 4, total=total)[0]._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan and "Window" not in plan
+
 
 class TestEngineApi:
     def test_progress_and_reset(self, spark, tmp_path):
