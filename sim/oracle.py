@@ -159,14 +159,21 @@ class OracleCrawler:
                 gate_insert(u, host_of_one(u), 1, p, 0)
 
         # --- rounds ----------------------------------------------------------
+        import math
+
+        period = cfg.round_period()
+        next_eligible: dict[str, int] = {}  # wall-clock sleep (Round 3a)
         for rnd in range(1, cfg.max_rounds + 1):
             pending = [r for r in frontier.values() if r.status == "pending"]
             if not pending:
                 break
             res.rounds_run = rnd
 
-            # robots gating happened at insert — all pending rows eligible
-            eligible = pending
+            # robots gating happened at insert; hosts sleeping off a
+            # crawl_delay > period are skipped whole rounds (CRAWL_SPEC 3a)
+            eligible = [
+                r for r in pending if next_eligible.get(r.host, 0) <= rnd
+            ]
 
             key = lambda r: (-r.priority, r.depth, r.discovered_round, r.url_canon)
             eligible.sort(key=key)
@@ -175,7 +182,7 @@ class OracleCrawler:
             for r in eligible:
                 ru = robots[r.host]
                 budget = (
-                    max(1, cfg.base_host_budget // ru.crawl_delay)
+                    max(1, min(cfg.base_host_budget, period // ru.crawl_delay))
                     if ru.crawl_delay
                     else cfg.base_host_budget
                 )
@@ -183,6 +190,10 @@ class OracleCrawler:
                     per_host_taken[r.host] = per_host_taken.get(r.host, 0) + 1
                     taken.append(r)
             taken = taken[: cfg.round_size]  # already in total order
+            for r in taken:
+                d = robots[r.host].crawl_delay
+                if d and d > period:
+                    next_eligible[r.host] = rnd + math.ceil(d / period)
 
             candidates: dict[str, tuple[float, int]] = {}
             for rank, r in enumerate(taken, start=1):

@@ -52,9 +52,19 @@ class CrawlConfig:
     # each shard's bitmap stays ~10 MB; locally 16 keeps per-shard sizing
     # honest without per-round overhead
     bloom_shards: int = 16
+    # wall-clock politeness: one round represents this many seconds (the
+    # reference's cron tick). crawl_delay ≤ T → floor(T/delay) fetches per
+    # round (capped at base_host_budget); crawl_delay > T → the host sleeps
+    # ceil(delay/T)-1 rounds between single fetches (next_eligible_round).
+    # None → base_host_budget, which makes the ≤T budgets identical to the
+    # classic base//delay division.
+    round_period_secs: int | None = None
     # write a FULL frontier snapshot every K rounds; in between, rounds
     # commit only deltas (frontier_inserts + fetch_log) and readers
     # reconstruct a latest-wins view — per-round bytes written scale with
     # the ROUND, not the frontier (at 10^10 rows a per-round snapshot is
     # ~1.2 TB of parquet). 1 = snapshot every round (the old behavior).
     frontier_compact_every: int = 8
+
+    def round_period(self) -> int:
+        return self.round_period_secs or self.base_host_budget

@@ -150,11 +150,20 @@ def order_key() -> list[Column]:
     ]
 
 
-def host_budget_col(base_budget: int) -> Column:
-    """Politeness budget from the robots crawl_delay column (null → base)."""
+def host_budget_col(base_budget: int, period: int | None = None) -> Column:
+    """Wall-clock politeness budget (CRAWL_SPEC Round 3b): in one round of
+    ``period`` seconds a host with ``crawl_delay`` d absorbs floor(period/d)
+    fetches, at least 1 (hosts with d > period are gated out ENTIRELY by the
+    next_eligible_round skip before dequeue — see CrawlEngine), at most
+    ``base_budget``. null/0 delay → base. period=None → base_budget, which
+    reproduces the classic ``base // delay`` for delay ≤ base."""
+    t = period or base_budget
     return F.when(
         F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
-        F.greatest(F.lit(1), F.floor(F.lit(base_budget) / F.col("crawl_delay"))),
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(base_budget), F.floor(F.lit(t) / F.col("crawl_delay"))),
+        ),
     ).otherwise(F.lit(base_budget)).cast("int")
 
 
@@ -163,13 +172,14 @@ def dequeue(
     base_budget: int,
     round_size: int,
     salt_buckets: int = 8,
+    period: int | None = None,
 ) -> DataFrame:
     """Select this round's fetch set with a 1-based global ``rank``.
 
     ``eligible`` needs (url_canon, host, depth, priority, discovered_round,
     crawl_delay). Returns the same columns + rank, ≤ round_size rows.
     """
-    budget = host_budget_col(base_budget)
+    budget = host_budget_col(base_budget, period)
     df = eligible.withColumn("_budget", budget)
 
     if salt_buckets > 1:

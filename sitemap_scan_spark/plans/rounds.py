@@ -104,6 +104,26 @@ class CrawlEngine:
             )
         self.pages_canon = self.spark.read.parquet(path)
         self.robots_dim = self._build_robots_dim()
+        self._any_delayed: bool | None = None  # lazily probed once
+
+    def _wallclock_politeness_on(self) -> bool:
+        """True iff some host's crawl_delay exceeds the round period — only
+        then is the per-round host_state dim maintained (zero extra jobs per
+        round otherwise). Probed once per engine instance."""
+        if self._any_delayed is None:
+            self._any_delayed = not self.robots_dim.filter(
+                F.col("crawl_delay") > self.cfg.round_period()
+            ).isEmpty()
+        return self._any_delayed
+
+    def _host_state(self, rnd: int):
+        """The wall-clock politeness dim as of round ``rnd``:
+        (host, next_eligible_round) for hosts still sleeping off a
+        crawl_delay > round_period. Tiny by construction (delayed hosts
+        only) — written as a full per-round snapshot."""
+        if self.store.has_table(rnd, "host_state"):
+            return self.store.read_table(self.spark, rnd, "host_state")
+        return None
 
     def _build_robots_dim(self) -> DataFrame:
         """Parse robots.txt rows into the per-host rules dim
@@ -518,11 +538,23 @@ class CrawlEngine:
         frontier = self._frontier(rnd - 1)
         # 1. robots gating happened at insert (status + crawl_delay live in
         # the frontier row), so every pending row is eligible by construction
+        # — except hosts sleeping off a crawl_delay > round_period (CRAWL_SPEC
+        # Round 3a: wall-clock politeness), gated by the tiny host_state dim
         eligible = frontier.filter(F.col("status") == "pending")
+        period = cfg.round_period()
+        wallclock = self._wallclock_politeness_on()
+        prev_host_state = self._host_state(rnd - 1) if wallclock else None
+        if prev_host_state is not None:
+            sleeping = prev_host_state.filter(
+                F.col("next_eligible_round") > rnd
+            ).select("host")
+            eligible = eligible.join(F.broadcast(sleeping), "host", "left_anti")
 
         # 2-3. politeness dequeue (two-phase salted window + TakeOrdered cap)
         # — written as this round's crawl_order delta, then re-read
-        dq = dequeue(eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets)
+        dq = dequeue(
+            eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets, period
+        )
         taken = store.write_table(
             self.spark,
             rnd,
@@ -534,10 +566,34 @@ class CrawlEngine:
                 "host",
                 "depth",
                 "priority",
+                "crawl_delay",
             ),
         )
         if hasattr(dq, "_ssc_persisted"):
             dq._ssc_persisted.unpersist()
+        if wallclock:
+            # hosts hit this round with delay > period sleep ceil(d/T)-1
+            # rounds; carry forward still-sleeping hosts, newest round wins
+            hit = (
+                taken.filter(F.col("crawl_delay") > period)
+                .groupBy("host")
+                .agg(F.min("crawl_delay").alias("_d"))
+                .select(
+                    "host",
+                    (F.lit(rnd) + F.ceil(F.col("_d") / F.lit(period)))
+                    .cast("int")
+                    .alias("next_eligible_round"),
+                )
+            )
+            new_state = hit
+            if prev_host_state is not None:
+                new_state = prev_host_state.filter(
+                    F.col("next_eligible_round") > rnd
+                ).unionByName(hit)
+            new_state = new_state.groupBy("host").agg(
+                F.max("next_eligible_round").alias("next_eligible_round")
+            )
+            store.write_table(self.spark, rnd, "host_state", new_state)
         _mark("dequeue+write crawl_order")
 
         # 4. fetch simulation. A plain left join would shuffle the whole

@@ -301,6 +301,107 @@ class TestBloom:
         assert len(nc) <= 500 + 120
 
 
+class TestWallClockPoliteness:
+    """CRAWL_SPEC Round 3a: a crawl_delay > round_period host is dequeued
+    only every ceil(delay/period) rounds — and the distributed engine matches
+    the sequential oracle exactly on such a corpus."""
+
+    def _corpus(self, path):
+        import os
+
+        import pandas as pd
+
+        os.makedirs(path, exist_ok=True)
+        rows = [
+            ("https://slow.test/robots.txt", "User-agent: *\nCrawl-delay: 25"),
+            (
+                "https://slow.test/sitemap.xml",
+                "<urlset>"
+                + "".join(
+                    f"<url><loc>https://slow.test/{p}</loc></url>"
+                    for p in ("a", "b", "c")
+                )
+                + "</urlset>",
+            ),
+            ("https://fast.test/sitemap.xml",
+             "<urlset><url><loc>https://fast.test/x</loc></url>"
+             "<url><loc>https://fast.test/y</loc></url></urlset>"),
+        ]
+        for u in ("https://slow.test/", "https://slow.test/a",
+                  "https://slow.test/b", "https://slow.test/c",
+                  "https://fast.test/", "https://fast.test/x",
+                  "https://fast.test/y"):
+            rows.append((u, f"<html><body><p>page {u}</p></body></html>"))
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pd.to_datetime(["2026-01-01"] * len(rows))
+                .tz_localize("UTC")
+                .astype("datetime64[us, UTC]"),
+                "html": [r[1].encode() for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        pdf.to_parquet(os.path.join(path, "pages.parquet"), index=False)
+        pd.DataFrame(
+            {
+                "seed_url": ["https://slow.test/", "https://fast.test/"],
+                "priority": [0.8, 0.8],
+            }
+        ).to_parquet(os.path.join(path, "seeds.parquet"), index=False)
+
+    def test_delay_host_skips_rounds_and_matches_oracle(self, spark, tmp_path):
+        import pandas as pd
+
+        from sim.oracle import OracleCrawler
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "corpus")
+        self._corpus(corpus)
+        # period = base_host_budget = 10; delay 25 → one fetch every
+        # ceil(25/10) = 3 rounds: slow.test dequeued in rounds 1, 4, 7, 10
+        cfg = CrawlConfig(base_host_budget=10, round_size=100, max_rounds=12)
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(f"{corpus}/pages.parquet"),
+            cfg,
+            str(tmp_path / "wd"),
+        )
+        eng.run(spark.read.parquet(f"{corpus}/seeds.parquet"))
+        order = [
+            (r.round, r.rank, r.url_canon) for r in eng.crawl_order().collect()
+        ]
+        slow_rounds = sorted(
+            {rnd for rnd, _rk, u in order if u.startswith("https://slow")}
+        )
+        assert slow_rounds == [1, 4, 7, 10]
+        # one slow fetch per eligible round, never more
+        from collections import Counter
+
+        per_round = Counter(
+            rnd for rnd, _rk, u in order if u.startswith("https://slow")
+        )
+        assert set(per_round.values()) == {1}
+        # fast host unaffected: fully crawled in round 1 + link round(s)
+        fast_rounds = sorted(
+            {rnd for rnd, _rk, u in order if u.startswith("https://fast")}
+        )
+        assert fast_rounds[0] == 1
+
+        # exact parity with the sequential oracle under the same semantics
+        oracle = OracleCrawler(pd.read_parquet(f"{corpus}/pages.parquet"), cfg)
+        res = oracle.crawl(pd.read_parquet(f"{corpus}/seeds.parquet"))
+        assert sorted(order) == sorted(res.crawl_order)
+        got_seen = sorted(
+            (r.url_canon, r.first_seen_round, r.last_status)
+            for r in eng.url_seen().collect()
+        )
+        want_seen = sorted(
+            (u, r, s) for u, (r, s) in res.url_seen.items()
+        )
+        assert got_seen == want_seen
+
+
 class TestCanonicalizeUdfNulls:
     def test_invalid_inputs_dropped(self, spark):
         df = spark.createDataFrame(
