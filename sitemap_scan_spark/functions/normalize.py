@@ -20,6 +20,8 @@ e.g. the weekday lookahead pattern depends on dates already being
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -122,11 +124,62 @@ def cleanup_whitespace(col: Column | str) -> Column:
     return F.trim(c)
 
 
-def normalize_content(col: Column | str, custom_patterns: list[str] | None = None) -> Column:
+_RE_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9-]*)(\s[^<>]*?)(/?)>")
+_RE_ATTR = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)(\s*=\s*(?:"[^"]*"|'[^']*'|[^\s"'>/]+))?"""
+)
+
+
+def sort_attributes_one(html: str) -> str:
+    """F10 ``sortAttributes`` analog (comparer.ts:96-112 html-minifier
+    option): rewrite each tag with its attributes sorted by name so two
+    captures differing only in attribute ORDER normalize (and hash) equal.
+    Value text is preserved verbatim; malformed tags pass through."""
+
+    def fix(m):
+        name, attrs, slash = m.group(1), m.group(2), m.group(3)
+        parsed = _RE_ATTR.findall(attrs)
+        if not parsed:
+            return m.group(0)
+        rebuilt = " ".join(
+            a + (v.strip() and "=" + v.split("=", 1)[1].strip() or "")
+            for a, v in sorted(parsed, key=lambda kv: kv[0])
+        )
+        return f"<{name} {rebuilt}{slash}>"
+
+    return _RE_TAG.sub(fix, html or "")
+
+
+def sort_attributes_udf(col: Column | str) -> Column:
+    """Arrow-batched pandas twin of :func:`sort_attributes_one` — the one
+    normalize step regexes can't do JVM-side (needs an in-tag sort)."""
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _udf(s: _pd.Series) -> _pd.Series:
+        return s.map(lambda t: sort_attributes_one(t) if t is not None else None)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _udf(c.cast("string"))
+
+
+def normalize_content(
+    col: Column | str,
+    custom_patterns: list[str] | None = None,
+    sort_attrs: bool = False,
+) -> Column:
     """Full normalization used for change detection: ignore battery +
-    custom patterns + whitespace cleanup (comparer.ts:96-134 minus the
-    html-minifier step, re-specified per SURVEY.md §7.3 risk 5)."""
-    return cleanup_whitespace(redact_ignored(col, custom_patterns))
+    custom patterns + whitespace cleanup (comparer.ts:96-134; the
+    html-minifier step re-specified per SURVEY.md §7.3 risk 5).
+    ``sort_attrs=True`` additionally applies the F10 sortAttributes pass
+    (pandas UDF — off the JVM fast path, so opt-in: enable when captures
+    churn attribute order, e.g. server-side-rendered attr maps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if sort_attrs:
+        c = sort_attributes_udf(c)
+    return cleanup_whitespace(redact_ignored(c, custom_patterns))
 
 
 def normalized_hash(col: Column | str, custom_patterns: list[str] | None = None) -> Column:

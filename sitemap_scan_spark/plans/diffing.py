@@ -106,6 +106,77 @@ def change_magnitude_udf(prev: pd.Series, curr: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"added_chars": added, "removed_chars": removed})
 
 
+def render_diff_one(
+    text1: str | None,
+    text2: str | None,
+    max_changes: int = 10,
+    max_lines: int = 20,
+) -> str:
+    """F20 scalar (``generateSimpleDiff``, comparer.ts:221-256): positional
+    line-by-line diff — '  ctx' / '- old' / '+ new' rows, stop after
+    ``max_changes`` changed lines (append '... (truncated)'), emit at most
+    ``max_lines`` rows. Empty-vs-set lines render one-sided like the
+    reference's truthiness checks."""
+    lines1 = (text1 or "").split("\n")
+    lines2 = (text2 or "").split("\n")
+    out: list[str] = []
+    changes = 0
+    for i in range(max(len(lines1), len(lines2))):
+        if changes >= max_changes:
+            break
+        l1 = lines1[i] if i < len(lines1) else ""
+        l2 = lines2[i] if i < len(lines2) else ""
+        if l1 == l2:
+            out.append(f"  {l2}")
+        elif l1 and not l2:
+            out.append(f"- {l1}")
+            changes += 1
+        elif l2 and not l1:
+            out.append(f"+ {l2}")
+            changes += 1
+        else:
+            out.append(f"- {l1}")
+            out.append(f"+ {l2}")
+            changes += 1
+    if changes >= max_changes:
+        out.append("... (truncated)")
+    return "\n".join(out[:max_lines])
+
+
+def render_progressive_diff_one(
+    text1: str | None, text2: str | None, chunk_size: int = 50_000
+) -> tuple[str, bool]:
+    """F20 progressive variant (``generateProgressiveDiff``,
+    generator.ts:220-246): diff only the first ``chunk_size`` chars of each
+    side; is_partial flags that more content exists beyond the chunk."""
+    t1 = (text1 or "")[:chunk_size]
+    t2 = (text2 or "")[:chunk_size]
+    is_partial = max(len(text1 or ""), len(text2 or "")) > chunk_size
+    return render_diff_one(t1, t2), is_partial
+
+
+def with_rendered_diff(
+    diff: DataFrame,
+    col1: str = "text_1",
+    col2: str = "text_2",
+    max_changes: int = 10,
+    max_lines: int = 20,
+) -> DataFrame:
+    """Append the F20 rendered ``diff`` string to a round_pair_diff that
+    kept text_1/text_2 — Arrow-batched pandas over the (small) changed
+    subset; call AFTER filtering on ``changed`` so unchanged pages never
+    pay the render."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def render(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [render_diff_one(x, y, max_changes, max_lines) for x, y in zip(a, b)]
+        )
+
+    return diff.withColumn("diff", render(F.col(col1), F.col(col2)))
+
+
 def with_change_magnitude(diff: DataFrame) -> DataFrame:
     """Append F14 magnitudes to a round_pair_diff that kept text_1/text_2."""
     return diff.withColumn(

@@ -102,6 +102,94 @@ class TestDiffing:
         assert limit_changes(d, cap=50).count() == 2
 
 
+class TestRenderedDiff:
+    """F20 (comparer.ts:221-256 + generator.ts:220-246 semantics)."""
+
+    def test_render_semantics(self):
+        from sitemap_scan_spark.plans.diffing import render_diff_one
+
+        # modify / add / remove / context rows
+        got = render_diff_one("a\nb\nc", "a\nB\nc\nd")
+        assert got == "  a\n- b\n+ B\n  c\n+ d"
+        got = render_diff_one("a\nb", "a")
+        assert got == "  a\n- b"
+        # equal inputs → all context
+        assert render_diff_one("x\ny", "x\ny") == "  x\n  y"
+
+    def test_truncation_limits(self):
+        from sitemap_scan_spark.plans.diffing import render_diff_one
+
+        t1 = "\n".join(f"l{i}" for i in range(30))
+        t2 = "\n".join(f"L{i}" for i in range(30))
+        got = render_diff_one(t1, t2)
+        lines = got.split("\n")
+        # 10 changes → 20 -/+ rows, '(truncated)' marker beyond slice(0,20)
+        assert len(lines) == 20
+        assert lines[0] == "- l0" and lines[1] == "+ L0"
+        assert sum(1 for x in lines if x.startswith("-")) == 10
+        # marker visible when the 10-change body fits inside 20 rows
+        # (one modify = 2 rows + 9 one-sided adds = 11 rows + marker)
+        got2 = render_diff_one(
+            "a", "A\n" + "\n".join(f"add{i}" for i in range(9)) + "\nmore"
+        )
+        assert got2.split("\n")[-1] == "... (truncated)"
+        assert len(got2.split("\n")) == 12
+
+    def test_progressive_partial_flag(self):
+        from sitemap_scan_spark.plans.diffing import render_progressive_diff_one
+
+        d, partial = render_progressive_diff_one("x" * 60_000, "x" * 60_000)
+        assert partial is True and d == "  " + "x" * 50_000
+        d2, partial2 = render_progressive_diff_one("a", "b", chunk_size=100)
+        assert partial2 is False and d2 == "- a\n+ b"
+
+    def test_with_rendered_diff_df(self, fetch_log, spark):
+        from sitemap_scan_spark.plans.diffing import (
+            round_pair_diff,
+            with_rendered_diff,
+        )
+
+        diff = round_pair_diff(fetch_log, 2, 3).filter("changed")
+        out = with_rendered_diff(diff)
+        rows = out.select("url_canon", "diff").collect()
+        assert rows and all(r.diff and ("+" in r.diff or "-" in r.diff) for r in rows)
+
+
+class TestSortAttributes:
+    def test_order_only_churn_hashes_equal(self, spark):
+        from sitemap_scan_spark.functions.normalize import (
+            normalize_content,
+            sort_attributes_one,
+        )
+
+        a = '<div class="x" id="y" data-k="1"><img src="s" alt="t"/></div>'
+        b = '<div id="y" data-k="1" class="x"><img alt="t" src="s"/></div>'
+        assert sort_attributes_one(a) == sort_attributes_one(b)
+        # value text preserved verbatim
+        assert 'class="x"' in sort_attributes_one(a)
+        df = spark.createDataFrame([(a, b)], "ta string, tb string")
+        r = df.select(
+            (
+                F.sha2(normalize_content("ta", sort_attrs=True), 256)
+                == F.sha2(normalize_content("tb", sort_attrs=True), 256)
+            ).alias("eq"),
+            (
+                F.sha2(normalize_content("ta"), 256)
+                == F.sha2(normalize_content("tb"), 256)
+            ).alias("eq_plain"),
+        ).first()
+        assert r.eq is True  # F10 on: order-only churn normalizes equal
+        assert r.eq_plain is False  # documented deviation when off
+
+    def test_malformed_and_bare_attrs(self):
+        from sitemap_scan_spark.functions.normalize import sort_attributes_one
+
+        assert sort_attributes_one("<p>") == "<p>"
+        assert sort_attributes_one("no tags") == "no tags"
+        got = sort_attributes_one("<input disabled type='x'>")
+        assert got == "<input disabled type='x'>"
+
+
 class TestScheduler:
     def test_cron_match(self):
         now = datetime(2026, 8, 16, 10, 30, tzinfo=timezone.utc)  # Sunday
