@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -153,14 +154,13 @@ def sort_attributes_one(html: str) -> str:
 def sort_attributes_udf(col: Column | str) -> Column:
     """Arrow-batched pandas twin of :func:`sort_attributes_one` — the one
     normalize step regexes can't do JVM-side (needs an in-tag sort)."""
-    import pandas as _pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    @pandas_udf(StringType())
-    def _udf(s: _pd.Series) -> _pd.Series:
+    def _apply(s: pd.Series) -> pd.Series:
         return s.map(lambda t: sort_attributes_one(t) if t is not None else None)
 
+    _udf = pandas_udf(_apply, StringType())
     c = F.col(col) if isinstance(col, str) else col
     return _udf(c.cast("string"))
 
