@@ -91,9 +91,16 @@ def ann_topk(
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's bucket plus all buckets within
-    ``probe_hamming`` bit flips, exact cosine on the candidates only."""
+    ``probe_hamming`` bit flips, exact cosine on the candidates only.
+
+    Pass ``bucketed`` (a DF already carrying the ``bucket`` column from
+    :func:`hyperplane_buckets`, persisted/partitioned on it) to skip the
+    per-query bucket recomputation — the scale path: buckets are a write-
+    once partition column, so each probe touches only the ≤ |probes|
+    matching partitions and its cost is independent of corpus size."""
     q = np.asarray(list(query), dtype=np.float64)
     planes = np.random.RandomState(seed).standard_normal((len(q), n_planes))
     qbits = int(((q @ planes) > 0) @ (1 << np.arange(n_planes)))
@@ -106,7 +113,8 @@ def ann_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         }
-    bucketed = hyperplane_buckets(df, len(q), n_planes, seed, vec_col)
+    if bucketed is None:
+        bucketed = hyperplane_buckets(df, len(q), n_planes, seed, vec_col)
     cands = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
     return cosine_topk(cands, query, k, vec_col, id_col)
 

@@ -169,6 +169,80 @@ def windowed_counters(
     )
 
 
+def change_notification_sink(
+    state_dir: str,
+    out_dir: str,
+    deliver=None,
+):
+    """K7 webhook/Slack notify (notifier.ts:63-71 + index.ts:90-95) as a
+    ``foreachBatch`` sink over fetch_log deltas: per micro-batch, each URL's
+    normalized content hash is compared against the persisted last-seen hash
+    (``state_dir``); genuine changes emit one notification row
+    (url_canon, round, old_hash, new_hash) appended to ``out_dir`` and —
+    optionally — handed to ``deliver(dict)`` one by one (the webhook
+    transport hook; notifications per tick are round-sized, never
+    data-sized, so the driver-side delivery loop is safe).
+
+    First sight of a URL records state but does NOT notify (the reference
+    alerts on CHANGE, not discovery). The state table is a url→hash dim
+    rewritten latest-wins per batch — the Iceberg/Delta MERGE analog;
+    upstream TTL throttling composes via :func:`dedup_with_ttl`."""
+    import os
+    import shutil
+
+    from ..functions.normalize import normalized_hash
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = (
+            batch_df.filter(F.col("status") == "fetched")
+            .select(
+                "url_canon",
+                "round",
+                normalized_hash(F.col("text_extracted")).alias("new_hash"),
+            )
+            # latest round wins within one batch (multi-delta micro-batch)
+            .groupBy("url_canon")
+            .agg(
+                F.max_by("new_hash", "round").alias("new_hash"),
+                F.max("round").alias("round"),
+            )
+        )
+        have_state = os.path.exists(os.path.join(state_dir, "_SUCCESS"))
+        prev = spark.read.parquet(state_dir) if have_state else None
+        if prev is not None:
+            joined = hashed.join(
+                prev.select("url_canon", F.col("new_hash").alias("old_hash")),
+                "url_canon",
+                "left",
+            )
+            changes = joined.filter(
+                F.col("old_hash").isNotNull()
+                & (F.col("old_hash") != F.col("new_hash"))
+            ).select("url_canon", "round", "old_hash", "new_hash")
+            changes.write.mode("append").parquet(out_dir)
+            if deliver is not None:
+                for r in changes.collect():
+                    deliver(r.asDict())
+            new_state = (
+                prev.unionByName(hashed.select("url_canon", "new_hash", "round"))
+                .groupBy("url_canon")
+                .agg(
+                    F.max_by("new_hash", "round").alias("new_hash"),
+                    F.max("round").alias("round"),
+                )
+            )
+        else:
+            new_state = hashed.select("url_canon", "new_hash", "round")
+        nxt = state_dir + "__next"
+        new_state.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(nxt, state_dir)
+
+    return sink
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

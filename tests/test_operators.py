@@ -88,6 +88,22 @@ class TestSimilarity:
         assert 3 in approx
         assert len(brute & approx) >= 2  # decent recall on tiny corpus
 
+    def test_ann_precomputed_buckets_identical(self, spark, sf_dir):
+        """The scale path — buckets persisted once as a partition column —
+        returns exactly the per-query recomputation's result."""
+        from sitemap_scan_spark.operators.similarity import (
+            ann_topk,
+            hyperplane_buckets,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.first().embedding)
+        pre = hyperplane_buckets(emb, dim, n_planes=6).localCheckpoint(eager=True)
+        q = emb.filter("vec_id = 3").select("embedding").first().embedding
+        a = ann_topk(emb, q, k=5, n_planes=6, probe_hamming=2).collect()
+        b = ann_topk(emb, q, k=5, n_planes=6, probe_hamming=2, bucketed=pre).collect()
+        assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
+
     def test_cosine_pairs_threshold(self, spark):
         from sitemap_scan_spark.operators.similarity import cosine_pairs
 

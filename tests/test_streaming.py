@@ -158,6 +158,53 @@ def test_streaming_crawl_matches_batch(spark):
     assert got == want
 
 
+def test_change_notification_sink(spark, dirs):
+    """K7: webhook notify sink over fetch_log deltas — first sight is
+    silent, a changed hash notifies exactly once, unchanged re-fetch stays
+    silent, and state survives across separate availableNow runs."""
+    from sitemap_scan_spark.streaming.stream import change_notification_sink
+
+    schema = "round int, url_canon string, status string, text_extracted string"
+    delivered = []
+
+    def write_round(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["round", "url_canon", "status", "text_extracted"]
+        )
+        pdf["round"] = pdf["round"].astype("int32")
+        pdf.to_parquet(os.path.join(dirs["in"], f"{name}.parquet"), index=False)
+
+    def drain():
+        s = spark.readStream.schema(schema).parquet(dirs["in"])
+        q = (
+            s.writeStream.outputMode("append")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .foreachBatch(
+                change_notification_sink(
+                    f"{BASE}/notify_state", dirs["out"], delivered.append
+                )
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    write_round("r1", [(1, "https://n/1", "fetched", "body one"),
+                       (1, "https://n/2", "fetched", "stable")])
+    drain()
+    assert delivered == []  # first sight: state only, no alert
+
+    write_round("r2", [(2, "https://n/1", "fetched", "body CHANGED"),
+                       (2, "https://n/2", "fetched", "stable"),
+                       (2, "https://n/3", "miss", None)])
+    drain()
+    assert [d["url_canon"] for d in delivered] == ["https://n/1"]
+    assert delivered[0]["round"] == 2
+    assert delivered[0]["old_hash"] != delivered[0]["new_hash"]
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 1
+
+
 def test_dedup_with_ttl_state(spark, dirs):
     ev = pd.DataFrame(
         {
