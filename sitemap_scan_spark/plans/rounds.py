@@ -349,13 +349,43 @@ class CrawlEngine:
 
     def _frontier(self, rnd: int) -> DataFrame:
         """The frontier state of round ``rnd``, cached hash-partitioned on
-        url_canon (one shuffle per round instead of one per consumer)."""
+        url_canon (one shuffle per round instead of one per consumer).
+
+        Incremental fast path: when the cache holds round ``rnd-1``, round
+        ``rnd``'s view is the cached DF + that single round's deltas (one
+        broadcast status join + one union) — the base snapshot and the
+        whole delta chain are never re-read or re-windowed. Cold path
+        (resume, first round) falls back to :meth:`frontier_at`."""
         if self._frontier_cache is not None and self._frontier_cache_round == rnd:
             return self._frontier_cache
+        store = self.store
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        src = None
+        if (
+            self._frontier_cache is not None
+            and self._frontier_cache_round == rnd - 1
+            and not store.has_table(rnd, "frontier")  # snapshot wins if present
+            and store.has_table(rnd, "fetch_log")
+        ):
+            upd = store.read_table(self.spark, rnd, "fetch_log").select(
+                "url_canon", F.col("status").alias("_new_status")
+            )
+            src = (
+                self._frontier_cache.join(F.broadcast(upd), "url_canon", "left")
+                .withColumn("status", F.coalesce("_new_status", "status"))
+                .drop("_new_status")
+            )
+            if store.has_table(rnd, "frontier_inserts"):
+                src = src.unionByName(
+                    store.read_table(self.spark, rnd, "frontier_inserts")
+                )
+        if src is None:
+            src = self.frontier_at(rnd)
+        df = src.repartition(n, "url_canon").persist()
+        # materialize BEFORE dropping the parent cache the plan reads from
+        df.count()
         if self._frontier_cache is not None:
             self._frontier_cache.unpersist()
-        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        df = self.frontier_at(rnd).repartition(n, "url_canon").persist()
         self._frontier_cache = df
         self._frontier_cache_round = rnd
         return df
