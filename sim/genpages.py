@@ -118,12 +118,38 @@ def _paths_for_host(
     return paths
 
 
+_PATHS_MEMO: dict[tuple, list[str]] = {}
+
+
+def _paths_cached(
+    hi: int, n_hosts: int, mean_pages: int, hot_host: bool, seed: int
+) -> list[str]:
+    """Worker-local memo of :func:`_paths_for_host` — tasks ship only the
+    corpus KNOBS (a 5-int tuple), never the multi-million-string path dict;
+    each worker recomputes (identical RNG → identical paths) the hosts it
+    actually links to, once."""
+    key = (hi, n_hosts, mean_pages, hot_host, seed)
+    got = _PATHS_MEMO.get(key)
+    if got is None:
+        got = _PATHS_MEMO[key] = _paths_for_host(hi, n_hosts, mean_pages, hot_host, seed)
+    return got
+
+
 def _gen_host(
-    args: tuple[int, list[str], dict[str, list[str]], int]
+    args: tuple[int, int, int, bool, int]
 ) -> tuple[list[tuple[str, datetime, bytes, str, str]], dict[str, int]]:
     """Generate all rows for one host — deterministic per-host RNG, so the
     corpus is identical whether generated serially or in a process pool."""
-    hi, hosts, host_paths, seed = args
+    hi, n_hosts, mean_pages, hot_host, seed = args
+    hosts = [f"host{i:04d}.test" for i in range(n_hosts)]
+
+    class _LazyPaths:
+        def __getitem__(self, host: str) -> list[str]:
+            return _paths_cached(
+                int(host[4:8]), n_hosts, mean_pages, hot_host, seed
+            )
+
+    host_paths = _LazyPaths()
     h = hosts[hi]
     rng = random.Random(f"{seed}|host|{hi}")
     rows: list[tuple[str, datetime, bytes, str, str]] = []
@@ -236,12 +262,16 @@ def generate(
     or across a process pool (workers defaults to cpu_count for big runs)."""
     os.makedirs(out_dir, exist_ok=True)
     hosts = [f"host{i:04d}.test" for i in range(n_hosts)]
-    host_paths = {
-        hosts[hi]: _paths_for_host(hi, n_hosts, mean_pages, hot_host, seed)
-        for hi in range(n_hosts)
-    }
-    tasks = [(hi, hosts, host_paths, seed) for hi in range(n_hosts)]
-    total_pages = sum(len(p) for p in host_paths.values())
+    tasks = [(hi, n_hosts, mean_pages, hot_host, seed) for hi in range(n_hosts)]
+    # page count per host without materializing the paths (first gauss draw
+    # of the per-host paths RNG — must mirror _paths_for_host)
+    total_pages = 0
+    for hi in range(n_hosts):
+        rng0 = random.Random(f"{seed}|paths|{hi}")
+        n = max(3, int(rng0.gauss(mean_pages, mean_pages / 3)))
+        if hot_host and hi == 1:
+            n = mean_pages * n_hosts
+        total_pages += n
     if workers is None:
         workers = min(os.cpu_count() or 1, 16) if total_pages > 20_000 else 1
 
