@@ -6,10 +6,12 @@ analog of the reference's KV resume state (``batch_progress:*``,
 Layout::
 
     {root}/round_0007/
-        frontier/            parquet snapshot of the FULL frontier
-        crawl_order/         this round's dequeue positions (delta)
+        frontier/            FULL frontier snapshot (compaction rounds only)
+        fetch_log/           this round's dequeue positions + fetch results
+                             (rank/host/crawl_delay ride along — crawl_order
+                             is a projection, not a table)
         frontier_inserts/    this round's newly-inserted URLs (delta)
-        fetch_log/           this round's fetch results (delta)
+        host_state/          wall-clock politeness dim (delayed hosts only)
         (url_seen is DERIVED at read time from fetch_log +
          frontier_inserts deltas — no dedicated table is written)
         _manifest.json       committed LAST — counters, row counts,
@@ -146,8 +148,8 @@ class RoundStore:
         return spark.read.parquet(os.path.join(self._dir(rnd), name))
 
     def read_deltas(self, spark: SparkSession, name: str) -> DataFrame | None:
-        """Union a delta table (crawl_order / frontier_inserts / fetch_log)
-        across all committed rounds."""
+        """Union a delta table (fetch_log / frontier_inserts) across all
+        committed rounds."""
         paths = [
             os.path.join(self._dir(r), name)
             for r in self.committed_rounds()

@@ -42,7 +42,7 @@ def expire_rounds(store: RoundStore, keep_last: int) -> list[int]:
         if r > base:
             continue  # delta still needed to reconstruct the frontier view
         d = store._dir(r)
-        for name in ("crawl_order", "fetch_log", "url_seen", "frontier_inserts", "frontier"):
+        for name in ("fetch_log", "frontier_inserts", "frontier", "host_state"):
             p = os.path.join(d, name)
             if os.path.exists(p):
                 shutil.rmtree(p)

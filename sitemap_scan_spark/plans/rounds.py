@@ -580,51 +580,25 @@ class CrawlEngine:
             ).select("host")
             eligible = eligible.join(F.broadcast(sleeping), "host", "left_anti")
 
-        # 2-3. politeness dequeue (two-phase salted window + TakeOrdered cap)
-        # — written as this round's crawl_order delta, then re-read
+        # 2-3. politeness dequeue (two-phase salted window + TakeOrdered
+        # cap). The dequeue's range-buckets stay cached, so ``taken`` is
+        # cheap to re-evaluate for both sides of the fetch join; the crawl
+        # order is persisted as columns OF the fetch_log delta (one write
+        # per round for dequeue+fetch instead of two — the rank/host/delay
+        # columns are round-sized, and manifest-last keeps the commit
+        # atomic either way).
         dq = dequeue(
             eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets, period
         )
-        taken = store.write_table(
-            self.spark,
-            rnd,
-            "crawl_order",
-            dq.select(
-                F.lit(rnd).alias("round"),
-                "rank",
-                "url_canon",
-                "host",
-                "depth",
-                "priority",
-                "crawl_delay",
-            ),
+        taken = dq.select(
+            F.lit(rnd).alias("round"),
+            "rank",
+            "url_canon",
+            "host",
+            "depth",
+            "priority",
+            "crawl_delay",
         )
-        if hasattr(dq, "_ssc_persisted"):
-            dq._ssc_persisted.unpersist()
-        if wallclock:
-            # hosts hit this round with delay > period sleep ceil(d/T)-1
-            # rounds; carry forward still-sleeping hosts, newest round wins
-            hit = (
-                taken.filter(F.col("crawl_delay") > period)
-                .groupBy("host")
-                .agg(F.min("crawl_delay").alias("_d"))
-                .select(
-                    "host",
-                    (F.lit(rnd) + F.ceil(F.col("_d") / F.lit(period)))
-                    .cast("int")
-                    .alias("next_eligible_round"),
-                )
-            )
-            new_state = hit
-            if prev_host_state is not None:
-                new_state = prev_host_state.filter(
-                    F.col("next_eligible_round") > rnd
-                ).unionByName(hit)
-            new_state = new_state.groupBy("host").agg(
-                F.max("next_eligible_round").alias("next_eligible_round")
-            )
-            store.write_table(self.spark, rnd, "host_state", new_state)
-        _mark("dequeue+write crawl_order")
 
         # 4. fetch simulation. A plain left join would shuffle the whole
         # pages table (a left-outer can't use the big side as broadcast
@@ -661,17 +635,45 @@ class CrawlEngine:
             rnd,
             "fetch_log",
             enriched.select(
-                F.lit(rnd).alias("round"),
+                "round",
+                "rank",
                 "url_canon",
+                "host",
                 "depth",
                 "priority",
+                "crawl_delay",
                 "status",
                 "text_extracted",
                 "links",
                 "redirect_to",
             ),
         )
-        _mark("fetch+parse+write fetch_log")
+        if hasattr(dq, "_ssc_persisted"):
+            dq._ssc_persisted.unpersist()
+        if wallclock:
+            # hosts hit this round with delay > period sleep ceil(d/T)-1
+            # rounds; carry forward still-sleeping hosts, newest round wins
+            hit = (
+                fetch_log.filter(F.col("crawl_delay") > period)
+                .groupBy("host")
+                .agg(F.min("crawl_delay").alias("_d"))
+                .select(
+                    "host",
+                    (F.lit(rnd) + F.ceil(F.col("_d") / F.lit(period)))
+                    .cast("int")
+                    .alias("next_eligible_round"),
+                )
+            )
+            new_state = hit
+            if prev_host_state is not None:
+                new_state = prev_host_state.filter(
+                    F.col("next_eligible_round") > rnd
+                ).unionByName(hit)
+            new_state = new_state.groupBy("host").agg(
+                F.max("next_eligible_round").alias("next_eligible_round")
+            )
+            store.write_table(self.spark, rnd, "host_state", new_state)
+        _mark("dequeue+fetch+parse+write fetch_log")
 
         # 5/6. candidate links from the fetch_log delta: explode + redirect
         # targets, canonicalize, exclude, per-round dedup, Bloom-prefiltered
@@ -780,7 +782,7 @@ class CrawlEngine:
         counters = {
             "round": rnd,
             "n_blocked": ins_status.get("robots_blocked", 0),
-            "n_taken": store.table_rows(rnd, "crawl_order"),
+            "n_taken": store.table_rows(rnd, "fetch_log"),
             "n_fetched": by_status.get("fetched", 0),
             "n_miss": by_status.get("miss", 0),
             "n_redirect": by_status.get("redirect", 0),
@@ -875,7 +877,9 @@ class CrawlEngine:
 
     # --------------------------------------------------------------- outputs
     def crawl_order(self) -> DataFrame:
-        df = self.store.read_deltas(self.spark, "crawl_order")
+        """Dequeue positions — a projection of the fetch_log deltas (the
+        rank/host columns ride in fetch_log; no separate table)."""
+        df = self.store.read_deltas(self.spark, "fetch_log")
         assert df is not None
         return df.select("round", "rank", "url_canon").orderBy("round", "rank")
 

@@ -151,9 +151,11 @@ def test_manifest_lineage(engine):
     assert m["counters"]["n_taken"] > 0
     # rounds commit DELTAS (full frontier snapshots only every
     # cfg.frontier_compact_every rounds — round 1 has none)
-    for t in ("crawl_order", "frontier_inserts", "fetch_log"):
+    for t in ("frontier_inserts", "fetch_log"):
         assert m["lineage"][t]["n_files"] >= 1
         assert all(p["rows"] >= 0 for p in m["lineage"][t]["partitions"])
+    # crawl_order is a projection of fetch_log, not a separate table
+    assert "crawl_order" not in m["lineage"]
     assert "frontier" not in m["lineage"]
     assert m["counters"]["frontier_size"] > 0
 
