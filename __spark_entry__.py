@@ -589,6 +589,15 @@ def q_simhash_groups(spark, sf):
     )
 
 
+def q_simhash_near(spark, sf):
+    """SimHash Hamming-≤3 near-dup pairs via pigeonhole block banding —
+    provably complete, so the brute all-pairs DuckDB scan is an exact
+    oracle (operators/dedup.py:simhash_near_pairs)."""
+    from sitemap_scan_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf, "documents"), d=3)
+
+
 def q_json_extract_agg(spark, sf):
     """F16 surface: JSON field extraction + aggregation over events.props."""
     ev = _t(spark, sf, "events")
@@ -673,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_magnitude": q_change_magnitude,
         "embedding_ann_topk": q_embedding_ann_topk,
         "simhash_groups": q_simhash_groups,
+        "simhash_near": q_simhash_near,
         "json_extract_agg": q_json_extract_agg,
         "json_normalize": q_json_normalize,
     }
@@ -1072,6 +1082,28 @@ def oracle_sql() -> dict[str, str]:
               FROM bits GROUP BY doc_id)
             SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
             FROM sims GROUP BY simhash HAVING count(*) > 1
+        """,
+        # banding is exact-complete for hamming <= d, so brute all-pairs IS
+        # the oracle (500 docs at sf0.01 → 125k pairs, trivial in DuckDB)
+        "simhash_near": """
+            WITH wh AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(string_split_regex(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), 1, 15))::BIGINT AS h
+              FROM documents),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM wh, unnest(generate_series(0, 59)) t(i)
+              GROUP BY doc_id, i),
+            sims AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "json_extract_agg": """
             SELECT event_type,

@@ -180,3 +180,62 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    d: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance ``d`` of the 60-bit
+    SimHash — the block-banding completion of :func:`simhash_dup_groups`.
+
+    Pigeonhole banding (the standard Manku/Charikar web-dedup layout): split
+    the hash into ``d+1`` equal blocks; two hashes within Hamming ``d``
+    must agree EXACTLY on at least one block, so the self-join key is
+    (block_idx, block_value) and only genuine block collisions ever shuffle
+    — never the all-pairs product. Candidates are then verified with an
+    exact ``bit_count(xor) <= d``; the result is provably COMPLETE (every
+    qualifying pair found), not approximate. All JVM: explode + equi-join +
+    bit ops. Output: (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    Requires 60 % (d+1) == 0 for equal blocks (d ∈ {1,2,3,5,...}); at
+    corpus scale precompute simhash64 once and pass it via ``sim``."""
+    n_blocks = d + 1
+    assert 60 % n_blocks == 0, "d+1 must divide the 60-bit hash width"
+    w = 60 // n_blocks
+    mask = (1 << w) - 1
+    sim = simhash64(df, text_col, id_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftrightunsigned(F.col("simhash"), j * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col), "simhash", F.explode(blocks).alias("b")
+    ).select(id_col, "simhash", F.col("b.j").alias("j"), F.col("b.v").alias("v"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "j", "v"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "j", "v"
+    )
+    cand = (
+        a.join(b, ["j", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()  # a pair may collide on several blocks
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= d)
+        .select("id_a", "id_b", "hamming")
+    )

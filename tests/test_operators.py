@@ -104,6 +104,35 @@ class TestSimilarity:
         b = ann_topk(emb, q, k=5, n_planes=6, probe_hamming=2, bucketed=pre).collect()
         assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
 
+    def test_simhash_near_pairs_complete_vs_brute(self, spark, sf_dir):
+        """Block banding must find EXACTLY the brute-force hamming≤d set
+        (pigeonhole completeness), never a subset."""
+        from pyspark.sql import functions as F
+
+        from sitemap_scan_spark.operators.dedup import simhash64, simhash_near_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_pairs(docs, d=3).collect()
+        )
+        sim = simhash64(docs)
+        a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+        b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+        ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        brute = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        )
+        assert got == brute
+        # and the plan is a banded equi-join, not a cartesian product
+        plan = simhash_near_pairs(docs, d=3)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
     def test_cosine_pairs_threshold(self, spark):
         from sitemap_scan_spark.operators.similarity import cosine_pairs
 
