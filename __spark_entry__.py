@@ -598,6 +598,24 @@ def q_simhash_near(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), d=3)
 
 
+def q_rendered_diff(spark, sf):
+    """F20 rendered diff (comparer.ts:221-256) over aligned doc pairs,
+    through the real pandas render UDF. The testdata texts are single-line
+    and non-empty (asserted in the oracle's semantics): equal pair →
+    '  <text>' context row, changed pair → '- old\\n+ new' — so DuckDB can
+    state the expected rendered string exactly."""
+    from sitemap_scan_spark.plans.diffing import with_rendered_diff
+
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_1")
+    )
+    b = d.select((F.col("doc_id") - 250).alias("id_a"), F.col("text").alias("text_2"))
+    return with_rendered_diff(a.join(b, "id_a")).select(
+        "id_a", F.sha2(F.col("diff"), 256).alias("diff_hash")
+    )
+
+
 def q_json_extract_agg(spark, sf):
     """F16 surface: JSON field extraction + aggregation over events.props."""
     ev = _t(spark, sf, "events")
@@ -683,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_topk": q_embedding_ann_topk,
         "simhash_groups": q_simhash_groups,
         "simhash_near": q_simhash_near,
+        "rendered_diff": q_rendered_diff,
         "json_extract_agg": q_json_extract_agg,
         "json_normalize": q_json_normalize,
     }
@@ -1104,6 +1123,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # single-line non-empty texts (true of the testdata at every sf):
+        # the reference's line renderer reduces to one context row when
+        # equal, else a '- old\n+ new' pair
+        "rendered_diff": """
+            SELECT a.doc_id AS id_a,
+                   sha256(CASE WHEN a.text = b.text THEN '  ' || b.text
+                               ELSE '- ' || a.text || chr(10) || '+ ' || b.text
+                          END) AS diff_hash
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+            WHERE a.doc_id < 250
         """,
         "json_extract_agg": """
             SELECT event_type,
