@@ -126,8 +126,12 @@ def cleanup_whitespace(col: Column | str) -> Column:
 
 
 _RE_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9-]*)(\s[^<>]*?)(/?)>")
+# One attribute, consumed left-to-right from the start of the remaining
+# attr string. Unquoted values may contain '/' (href=/path/x is a single
+# value — the self-close slash was already split off by _RE_TAG's tail
+# group, so it can never leak in here).
 _RE_ATTR = re.compile(
-    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)(\s*=\s*(?:"[^"]*"|'[^']*'|[^\s"'>/]+))?"""
+    r"""\s*([a-zA-Z_:][-a-zA-Z0-9_:.]*)(\s*=\s*(?:"[^"]*"|'[^']*'|[^\s"'>]+))?"""
 )
 
 
@@ -135,13 +139,22 @@ def sort_attributes_one(html: str) -> str:
     """F10 ``sortAttributes`` analog (comparer.ts:96-112 html-minifier
     option): rewrite each tag with its attributes sorted by name so two
     captures differing only in attribute ORDER normalize (and hash) equal.
-    Value text is preserved verbatim; malformed tags pass through."""
+    Value text is preserved verbatim; malformed tags pass through — the
+    tokenizer must consume the attr string COMPLETELY or the tag is left
+    untouched (never silently drop bytes from a tag we half-understood)."""
 
     def fix(m):
         name, attrs, slash = m.group(1), m.group(2), m.group(3)
-        parsed = _RE_ATTR.findall(attrs)
-        if not parsed:
-            return m.group(0)
+        parsed: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(attrs):
+            am = _RE_ATTR.match(attrs, pos)
+            if am is None or am.end() == pos:
+                break
+            parsed.append((am.group(1), am.group(2) or ""))
+            pos = am.end()
+        if not parsed or attrs[pos:].strip():
+            return m.group(0)  # nothing parsed, or unconsumed leftovers
         rebuilt = " ".join(
             a + (v.strip() and "=" + v.split("=", 1)[1].strip() or "")
             for a, v in sorted(parsed, key=lambda kv: kv[0])

@@ -121,12 +121,19 @@ def revisit_batch(
     at snapshot build) the batch is a PURE RANGE FILTER — no shuffle, no
     window; pass ``total`` too and the call plans zero extra jobs. Without
     ``seq`` the rank is computed on the fly with the parallel global rank —
-    never a single-partition ``Window.orderBy``."""
+    never a single-partition ``Window.orderBy``; the on-the-fly rank's
+    cached intermediate is unpersisted here after the batch localizes
+    (callers wanting the cache to live across calls must pre-compute seq
+    via :func:`with_revisit_seq` and manage the handle themselves)."""
+    on_the_fly: DataFrame | None = None
     if "seq" not in snapshot.columns:
         snapshot, total = with_revisit_seq(snapshot, col)
+        on_the_fly = snapshot._ssc_persisted
     if total is None:
         total = snapshot.count()
     if total == 0:
+        if on_the_fly is not None:
+            on_the_fly.unpersist()
         return snapshot.drop("seq"), 0, 0
     cursor = cursor % total
     end = cursor + batch_size
@@ -138,6 +145,13 @@ def revisit_batch(
             (F.col("seq") >= cursor) | (F.col("seq") < end - total)
         )
         new_cursor = end - total
+    if on_the_fly is not None:
+        # materialize the (batch-sized, executor-resident) result NOW so the
+        # unpersist below can't trigger a recompute when the caller consumes
+        # it; the checkpoint RDD is GC-cleaned once the batch is dropped
+        batch = batch.drop("seq").localCheckpoint(eager=True)
+        on_the_fly.unpersist()
+        return batch, new_cursor, total
     return batch.drop("seq"), new_cursor, total
 
 

@@ -7,7 +7,8 @@ engine's ``fetch_log`` round deltas:
 - W7  lag() change-flag history (``getUrlHistory``, generator.ts:166-170)
 - F13 normalized hash (comparer.ts:139-142) via functions/normalize.py
 - F14 change magnitude: shared prefix/suffix → added/removed chars
-      (comparer.ts:144-189) — Arrow-batched numpy, no per-row Python loops
+      (comparer.ts:144-189) — Arrow-batched; the per-text scans are numpy
+      vector compares (no per-CHAR Python loop)
 - D5  line-set added/removed counts (comparer.ts:258-284)
 - D6  word-set diff samples (comparer.ts:492-537)
 - A3  change summary w/ argmax (``summarizeChanges``, comparer.ts:336-361)
@@ -85,22 +86,37 @@ _MAG_SCHEMA = StructType(
 )
 
 
+def _common_prefix_suffix(p: str, c: str) -> int:
+    """Shared prefix + shared suffix length (in CHARS, suffix disjoint from
+    prefix) via numpy code-point compares — utf-32-le gives one uint32 per
+    Python char, so semantics match the char-wise oracle exactly while the
+    scans run as vector ops instead of per-char Python."""
+    a = np.frombuffer(p.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+    n = min(a.size, b.size)
+    if n == 0:
+        return 0
+    neq = a[:n] != b[:n]
+    i = int(neq.argmax()) if neq.any() else n
+    m = n - i
+    if m == 0:
+        return i
+    neq_s = a[a.size - m :][::-1] != b[b.size - m :][::-1]
+    j = int(neq_s.argmax()) if neq_s.any() else m
+    return i + j
+
+
 @F.pandas_udf(_MAG_SCHEMA)
 def change_magnitude_udf(prev: pd.Series, curr: pd.Series) -> pd.DataFrame:
     """F14 (comparer.ts:144-189): shared-prefix + shared-suffix lengths on
-    the two texts; added = len(curr)-common, removed = len(prev)-common."""
+    the two texts; added = len(curr)-common, removed = len(prev)-common.
+    The per-text scans are numpy vector compares (``_common_prefix_suffix``)
+    — no per-CHAR Python loop; only the cheap per-row dispatch remains."""
     added, removed = [], []
     for p, c in zip(prev, curr):
         p = p or ""
         c = c or ""
-        n = min(len(p), len(c))
-        i = 0
-        while i < n and p[i] == c[i]:
-            i += 1
-        j = 0
-        while j < n - i and p[len(p) - 1 - j] == c[len(c) - 1 - j]:
-            j += 1
-        common = i + j
+        common = _common_prefix_suffix(p, c)
         added.append(len(c) - common)
         removed.append(len(p) - common)
     return pd.DataFrame({"added_chars": added, "removed_chars": removed})

@@ -39,8 +39,12 @@ def expire_rounds(store: RoundStore, keep_last: int) -> list[int]:
     for r in expire:
         if r == latest or r == 0:
             continue  # never drop the resume point or the initial frontier
-        if r > base:
-            continue  # delta still needed to reconstruct the frontier view
+        if r >= base:
+            # r > base: delta still needed to reconstruct the frontier view.
+            # r == base: this round holds the newest full snapshot itself —
+            # expiring it would silently re-base frontier_at() on an older
+            # snapshot whose follow-up deltas may already be gone.
+            continue
         d = store._dir(r)
         for name in ("fetch_log", "frontier_inserts", "frontier", "host_state"):
             p = os.path.join(d, name)

@@ -120,9 +120,17 @@ class CrawlEngine:
         """The wall-clock politeness dim as of round ``rnd``:
         (host, next_eligible_round) for hosts still sleeping off a
         crawl_delay > round_period. Tiny by construction (delayed hosts
-        only) — written as a full per-round snapshot."""
-        if self.store.has_table(rnd, "host_state"):
-            return self.store.read_table(self.spark, rnd, "host_state")
+        only) — written as a full per-round snapshot.
+
+        Walks BACK to the most recent committed round <= rnd that carries
+        the table: discovery_refresh commits a round without host_state,
+        and a crawl round resuming after it must not forget hosts mid-sleep
+        (next_eligible_round is an absolute round number, exactly like the
+        oracle's run-scoped ``next_eligible`` dict, so the comparison stays
+        correct across intervening refresh rounds)."""
+        for r in range(rnd, -1, -1):
+            if self.store.has_table(r, "host_state"):
+                return self.store.read_table(self.spark, r, "host_state")
         return None
 
     def _build_robots_dim(self) -> DataFrame:
@@ -708,11 +716,13 @@ class CrawlEngine:
         # shuffle anti-join handles cheaply; below the threshold its two
         # extra jobs/round are pure overhead (SURVEY §4.3 — the exact
         # anti-join is always the correctness backstop either way).
-        # tracked arithmetically in the manifest (no frontier scan); footer
-        # fallback for stores written before the delta-commit scheme
-        frontier_size = store.read_manifest(rnd - 1)["counters"].get("frontier_size")
-        if frontier_size is None:
-            frontier_size = store.table_rows(rnd - 1, "frontier")
+        # tracked arithmetically in the manifest (no frontier scan). Every
+        # writer in this repo records it (init_frontier, refresh_discovery,
+        # run_round), so a missing key means a foreign/corrupt store — fail
+        # loudly rather than quietly re-counting (there is no legacy format
+        # to be compatible with; crawl_order()/url_seen() make the same
+        # single-format assumption).
+        frontier_size = store.read_manifest(rnd - 1)["counters"]["frontier_size"]
         use_bloom_now = self.use_bloom and frontier_size >= self.cfg.bloom_min_frontier
         if use_bloom_now:
             if self._bloom is None:

@@ -306,7 +306,7 @@ class TestWallClockPoliteness:
     only every ceil(delay/period) rounds — and the distributed engine matches
     the sequential oracle exactly on such a corpus."""
 
-    def _corpus(self, path):
+    def _corpus(self, path, slow_paths=("a", "b", "c")):
         import os
 
         import pandas as pd
@@ -319,7 +319,7 @@ class TestWallClockPoliteness:
                 "<urlset>"
                 + "".join(
                     f"<url><loc>https://slow.test/{p}</loc></url>"
-                    for p in ("a", "b", "c")
+                    for p in slow_paths
                 )
                 + "</urlset>",
             ),
@@ -327,8 +327,8 @@ class TestWallClockPoliteness:
              "<urlset><url><loc>https://fast.test/x</loc></url>"
              "<url><loc>https://fast.test/y</loc></url></urlset>"),
         ]
-        for u in ("https://slow.test/", "https://slow.test/a",
-                  "https://slow.test/b", "https://slow.test/c",
+        for u in ("https://slow.test/",
+                  *(f"https://slow.test/{p}" for p in slow_paths),
                   "https://fast.test/", "https://fast.test/x",
                   "https://fast.test/y"):
             rows.append((u, f"<html><body><p>page {u}</p></body></html>"))
@@ -400,6 +400,57 @@ class TestWallClockPoliteness:
             (u, r, s) for u, (r, s) in res.url_seen.items()
         )
         assert got_seen == want_seen
+
+    def test_sleep_survives_discovery_refresh(self, spark, tmp_path):
+        """Regression (round-3 ADVICE): discovery_refresh commits a round
+        WITHOUT a host_state table; the next crawl round must walk back to
+        the last round that has one, or hosts mid-sleep become dequeueable
+        immediately (silent politeness violation)."""
+        import pandas as pd
+
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "c1")
+        self._corpus(corpus)
+        cfg = CrawlConfig(base_host_budget=10, round_size=100, max_rounds=12)
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(f"{corpus}/pages.parquet"),
+            cfg,
+            str(tmp_path / "wd"),
+        )
+        # delay 25 / period 10: slow.test fetched round 1, then 4 (sleeps
+        # 2,3), with next_eligible_round = 7 stamped at round 4
+        eng.run(spark.read.parquet(f"{corpus}/seeds.parquet"), max_rounds=4)
+
+        # sitemap gains a genuinely new loc → refresh commits round 5
+        # (no host_state table on that round)
+        corpus2 = str(tmp_path / "c2")
+        self._corpus(corpus2, slow_paths=("a", "b", "c", "brandnew"))
+        eng2 = CrawlEngine(
+            spark,
+            spark.read.parquet(f"{corpus2}/pages.parquet"),
+            cfg,
+            str(tmp_path / "wd"),
+            refresh_pages=True,
+        )
+        r = eng2.refresh_discovery()
+        assert r["re_expanded"] == 1 and r["n_new"] == 1
+        refresh_round = eng2.store.latest_round()
+        assert refresh_round == 5
+        assert not eng2.store.has_table(refresh_round, "host_state")
+
+        # resume: rounds 6,7,8 — slow.test must stay asleep through round 6
+        # (next_eligible_round=7 from round 4's host_state), not wake early
+        eng2.run(spark.read.parquet(f"{corpus2}/seeds.parquet"), max_rounds=8)
+        slow_rounds = sorted(
+            {
+                r.round
+                for r in eng2.crawl_order().collect()
+                if r.url_canon.startswith("https://slow")
+            }
+        )
+        assert slow_rounds == [1, 4, 7]
 
 
 class TestCanonicalizeUdfNulls:

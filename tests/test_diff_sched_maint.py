@@ -189,6 +189,28 @@ class TestSortAttributes:
         got = sort_attributes_one("<input disabled type='x'>")
         assert got == "<input disabled type='x'>"
 
+    def test_unquoted_slash_values(self):
+        """Regression (round-3 ADVICE): unquoted values containing '/' must
+        be kept verbatim — and distinct hrefs must stay distinct."""
+        from sitemap_scan_spark.functions.normalize import sort_attributes_one
+
+        assert (
+            sort_attributes_one("<a href=/path/x b=1>") == "<a b=1 href=/path/x>"
+        )
+        a = sort_attributes_one("<a href=/a/b>")
+        b = sort_attributes_one("<a href=/b/a>")
+        assert a != b and a == "<a href=/a/b>" and b == "<a href=/b/a>"
+        # self-close slash split from the value, not eaten into it
+        assert sort_attributes_one("<img b=2 src=/x/y/>") == "<img b=2 src=/x/y/>"
+
+    def test_untokenizable_tag_passes_through(self):
+        from sitemap_scan_spark.functions.normalize import sort_attributes_one
+
+        # '=' with no attr name ahead of it — tokenizer can't consume fully,
+        # so the tag must come back byte-identical
+        weird = '<a ="orphan" href="/x">'
+        assert sort_attributes_one(weird) == weird
+
 
 class TestScheduler:
     def test_cron_match(self):
@@ -232,6 +254,30 @@ class TestMaintenance:
         assert store.read_table(spark, 3, "frontier").count() == 1
         reset(store)
         assert store.committed_rounds() == []
+
+    def test_expire_keeps_base_snapshot(self, spark, tmp_path):
+        """Regression (round-3 ADVICE): with compact_every>1 the newest
+        round may carry NO frontier snapshot — the newest snapshot round
+        (the reconstruction base) must survive expiry even when it falls
+        inside the keep_last horizon, or frontier_at() silently re-bases on
+        an older snapshot whose follow-up deltas are already gone."""
+        from sitemap_scan_spark.plans.checkpoint import RoundStore
+        from sitemap_scan_spark.plans.maintenance import expire_rounds
+
+        store = RoundStore(str(tmp_path / "rounds"))
+        df = spark.createDataFrame([("https://a/1",)], "url_canon string")
+        for r in range(0, 11):
+            store.begin_round(r)
+            if r in (0, 8):  # compaction rounds: full snapshot
+                store.write_table(spark, r, "frontier", df)
+            store.write_table(spark, r, "frontier_inserts", df)
+            store.commit_manifest(r, {"round": r})
+        expired = expire_rounds(store, keep_last=2)
+        # Base snapshot round 8 and every round after it must survive.
+        assert expired == [1, 2, 3, 4, 5, 6, 7]
+        assert store.has_table(8, "frontier")
+        for r in (8, 9, 10):
+            assert store.has_table(r, "frontier_inserts")
 
     def test_delete_host(self, spark, tmp_path):
         from sitemap_scan_spark.plans.checkpoint import RoundStore
