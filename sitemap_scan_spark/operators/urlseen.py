@@ -24,7 +24,11 @@ small-scale variant and the equivalence baseline in tests.
 
 from __future__ import annotations
 
+import json
 import math
+import os
+import shutil
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -128,6 +132,26 @@ class IncrementalBloom:
         return definite_new.unionByName(checked)
 
 
+def _shard_file(dir_: str, shard: int) -> str:
+    return os.path.join(dir_, f"shard_{shard:05d}.bloom")
+
+
+@lru_cache(maxsize=8)
+def _load_shard_cached(path: str, mtime_ns: int, size: int) -> np.ndarray:
+    """Executor-local shard-bitmap cache: keyed by (path, mtime, size) so a
+    rewritten shard is re-read, capped so a long-lived python worker never
+    accumulates more than a few shards (each is m/8 bytes)."""
+    return np.fromfile(path, dtype=np.uint8)
+
+
+def _load_shard(path: str) -> np.ndarray | None:
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        return None  # no key was ever routed to this shard → empty bloom
+    return _load_shard_cached(path, st.st_mtime_ns, st.st_size)
+
+
 class ShardedBloom:
     """Bloom-per-bucket URL-seen (SCALE_DESIGN.md D3; reference set-membership
     at planetary scale: fetcher.ts:497-505).
@@ -136,27 +160,74 @@ class ShardedBloom:
     independent of the in-shard double-hash pair — and each shard owns a
     bitmap sized for ``expected_total / P``. Why: at 10^10 keys a single
     1%-fpp bitmap is ~12 GB (unbroadcastable, un-OR-able on one driver);
-    1024 shards of ~12 MB are built from per-partition partials, OR-merged,
-    persisted and shipped INDEPENDENTLY. Probes are routed by the same pmod
-    (repartition on the shard id), so a probe task touches exactly one
-    shard's bitmap — and a shard whose candidates are all bloom-negative
-    contributes zero rows to the exact anti-join backstop, skipping that
-    bucket's join shuffle entirely (bench.py measures the skipped fraction).
+    1024 shards of ~12 MB are built, merged, persisted and probed
+    INDEPENDENTLY. Probes are routed by the same pmod (repartition on the
+    shard id), so a probe task touches exactly one shard's bitmap — and a
+    shard whose candidates are all bloom-negative contributes zero rows to
+    the exact anti-join backstop, skipping that bucket's join shuffle
+    entirely (bench.py measures the skipped fraction).
 
-    Functionally identical output to :class:`IncrementalBloom`
-    (test-asserted): same double-hash positions within a shard, same exact
-    left-anti backstop, so false positives can never drop a URL."""
+    Two shard lifecycles:
+
+    - ``dir=None`` (in-memory): shards live in a driver dict and ship in one
+      broadcast — fine while P·m fits comfortably on the driver (tests,
+      small crawls), and the equivalence baseline.
+    - ``dir=...`` (file-backed — the 10^10-key path): one file per shard
+      under ``dir`` (shared storage on a cluster). ``update()`` routes the
+      KEY ROWS by shard and each task OR-merges its shards straight into
+      their files (read-OR-write + atomic rename; task retries are
+      idempotent because OR is); the driver holds ZERO bitmaps and receives
+      only a tiny (shard, merged) summary. ``split()`` probe tasks open only
+      the shard files their routed partition needs (executor-local cached
+      read) — nothing proportional to P·m ever sits on the driver or in a
+      broadcast.
+
+    Functionally identical output in both modes and to
+    :class:`IncrementalBloom` (test-asserted): same double-hash positions
+    within a shard, same exact left-anti backstop, so false positives can
+    never drop a URL."""
 
     ROUTE_SEED = 2  # xxhash64(col, 2): independent of _h1/_h2 seeds (0, 1)
 
-    def __init__(self, expected_total: int, n_shards: int = 16, fpp: float = 0.01):
+    def __init__(
+        self,
+        expected_total: int,
+        n_shards: int = 16,
+        fpp: float = 0.01,
+        dir: str | None = None,
+        fresh: bool = False,
+    ):
         self.n_shards = max(1, n_shards)
         self.m, self.k = _bloom_params(
             max(1, expected_total // self.n_shards), fpp
         )
-        self.shards = {
-            s: np.zeros(self.m // 8, dtype=np.uint8) for s in range(self.n_shards)
-        }
+        self.dir = dir
+        if dir is None:
+            self.shards: dict[int, np.ndarray] | None = {
+                s: np.zeros(self.m // 8, dtype=np.uint8) for s in range(self.n_shards)
+            }
+        else:
+            # file-backed: no driver-resident bitmaps at all
+            self.shards = None
+            meta = {
+                "m": self.m,
+                "k": self.k,
+                "n_shards": self.n_shards,
+                "route_seed": self.ROUTE_SEED,
+            }
+            meta_path = os.path.join(dir, "_meta.json")
+            existing = None
+            if not fresh and os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    existing = json.load(f)
+            if existing != meta:
+                # incompatible layout (or fresh requested): start empty.
+                # Callers must re-seed from the full seen set — a bloom
+                # MISSING keys would leak duplicates past the prefilter.
+                shutil.rmtree(dir, ignore_errors=True)
+                os.makedirs(dir, exist_ok=True)
+                with open(meta_path, "w") as f:
+                    json.dump(meta, f)
 
     def _with_route(self, df: DataFrame, col: str) -> DataFrame:
         return _with_hashes(df, col).withColumn(
@@ -165,10 +236,55 @@ class ShardedBloom:
         )
 
     def update(self, df: DataFrame, col: str = "url_canon") -> None:
-        """OR-merge ``df[col]`` into the per-shard bitmaps: executors emit
-        (shard, partial-bitmap) rows — each partial is one shard's slice, so
-        nothing the size of the FULL filter is ever built in one task."""
+        """OR-merge ``df[col]`` into the per-shard bitmaps.
+
+        In-memory: executors emit (shard, partial-bitmap) rows — each partial
+        one shard's slice — and the driver ORs them into its dict.
+        File-backed: the key rows are routed by shard first (3 int64 columns
+        shuffle — never bitmaps), then each task builds its shards' bitmaps
+        and merges them straight into the shard files; the driver never sees
+        a bitmap."""
         m, k = self.m, self.k
+        if self.dir is not None:
+            dir_ = self.dir
+            schema = StructType([StructField("shard", IntegerType())])
+
+            def build_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                acc: dict[int, np.ndarray] = {}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    for shard, grp in pdf.groupby("_shard"):
+                        bits = acc.setdefault(
+                            int(shard), np.zeros(m // 8, dtype=np.uint8)
+                        )
+                        pos = _positions(
+                            grp["_h1"].to_numpy(), grp["_h2"].to_numpy(), k, m
+                        ).ravel()
+                        np.bitwise_or.at(
+                            bits, pos >> np.uint64(3),
+                            (1 << (pos & np.uint64(7))).astype(np.uint8),
+                        )
+                for s, bits in acc.items():
+                    path = _shard_file(dir_, s)
+                    prev = _load_shard(path)
+                    if prev is not None:
+                        bits = bits | prev
+                    tmp = f"{path}.tmp.{os.getpid()}"
+                    bits.tofile(tmp)
+                    os.replace(tmp, path)  # atomic; retries idempotent (OR)
+                if acc:
+                    yield pd.DataFrame({"shard": list(acc)})
+
+            (
+                self._with_route(df.select(col), col)
+                .select("_shard", "_h1", "_h2")
+                .repartition(self.n_shards, "_shard")
+                .mapInPandas(build_merge, schema)
+                .collect()  # tiny: one int row per touched shard
+            )
+            return
+
         schema = StructType(
             [StructField("shard", IntegerType()), StructField("bits", BinaryType())]
         )
@@ -204,28 +320,51 @@ class ShardedBloom:
         self, candidates: DataFrame, col: str = "url_canon"
     ) -> tuple[DataFrame, DataFrame]:
         """→ (definite_new, needs_check): probes routed by shard id so each
-        Arrow batch touches one shard's bitmap (the scale path reads shards
-        from independent files; locally they travel in one broadcast dict)."""
+        Arrow batch touches one shard's bitmap. File-backed shards are read
+        executor-locally (cached by mtime); in-memory shards travel in one
+        broadcast dict."""
         spark = candidates.sparkSession
-        bc = spark.sparkContext.broadcast(
-            {s: b.tobytes() for s, b in self.shards.items()}
-        )
         m, k = self.m, self.k
 
-        @F.pandas_udf(BooleanType())
-        def maybe_seen(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
-            out = np.zeros(len(h1), dtype=bool)
-            h1v, h2v = h1.to_numpy(), h2.to_numpy()
-            for s in pd.unique(shard):
-                sel = (shard == s).to_numpy()
-                bits = np.frombuffer(bc.value[int(s)], dtype=np.uint8)
-                pos = _positions(h1v[sel], h2v[sel], k, m)
-                hit = (
-                    bits[pos >> np.uint64(3)]
-                    & (1 << (pos & np.uint64(7))).astype(np.uint8)
-                ) != 0
-                out[sel] = hit.all(axis=0)
-            return pd.Series(out)
+        if self.dir is not None:
+            dir_ = self.dir
+
+            @F.pandas_udf(BooleanType())
+            def maybe_seen(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
+                out = np.zeros(len(h1), dtype=bool)
+                h1v, h2v = h1.to_numpy(), h2.to_numpy()
+                for s in pd.unique(shard):
+                    sel = (shard == s).to_numpy()
+                    bits = _load_shard(_shard_file(dir_, int(s)))
+                    if bits is None:
+                        continue  # empty shard → all definite-new
+                    pos = _positions(h1v[sel], h2v[sel], k, m)
+                    hit = (
+                        bits[pos >> np.uint64(3)]
+                        & (1 << (pos & np.uint64(7))).astype(np.uint8)
+                    ) != 0
+                    out[sel] = hit.all(axis=0)
+                return pd.Series(out)
+
+        else:
+            bc = spark.sparkContext.broadcast(
+                {s: b.tobytes() for s, b in self.shards.items()}
+            )
+
+            @F.pandas_udf(BooleanType())
+            def maybe_seen(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
+                out = np.zeros(len(h1), dtype=bool)
+                h1v, h2v = h1.to_numpy(), h2.to_numpy()
+                for s in pd.unique(shard):
+                    sel = (shard == s).to_numpy()
+                    bits = np.frombuffer(bc.value[int(s)], dtype=np.uint8)
+                    pos = _positions(h1v[sel], h2v[sel], k, m)
+                    hit = (
+                        bits[pos >> np.uint64(3)]
+                        & (1 << (pos & np.uint64(7))).astype(np.uint8)
+                    ) != 0
+                    out[sel] = hit.all(axis=0)
+                return pd.Series(out)
 
         routed = self._with_route(candidates, col).repartition(
             self.n_shards, "_shard"

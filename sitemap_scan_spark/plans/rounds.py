@@ -730,8 +730,15 @@ class CrawlEngine:
                 # full-frontier pass seeds the filter; afterwards it is
                 # OR-updated with each round's insert delta only.
                 est = max(self.pages_canon.count() * 2, 1 << 16)
+                # file-backed shard lifecycle: bitmaps live one-file-per-
+                # shard under the workdir; the driver holds none of them
+                # (fresh=True — the full-frontier seed below rebuilds state,
+                # so stale files from a prior process must not linger)
                 self._bloom = ShardedBloom(
-                    expected_total=est, n_shards=self.cfg.bloom_shards
+                    expected_total=est,
+                    n_shards=self.cfg.bloom_shards,
+                    dir=os.path.join(self.store.root, "_urlseen_bloom"),
+                    fresh=True,
                 )
                 self._bloom.update(frontier.select("url_canon"))
             fresh = self._bloom.prefiltered_anti_join(

@@ -300,6 +300,61 @@ class TestBloom:
         # the 3000 new URLs skip the shuffle (1% fpp → ~30 strays allowed)
         assert len(nc) <= 500 + 120
 
+    def test_file_backed_shards_identical_and_driver_free(self, spark, tmp_path):
+        """The 10^10-key lifecycle (round-3 VERDICT item 2): file-backed
+        shards must (a) give bit-identical splits to the in-memory dict,
+        (b) keep ZERO bitmaps on the driver — peak driver memory independent
+        of P·m, (c) persist one independently-sized file per touched shard,
+        (d) survive into a new instance with matching meta, and (e) wipe on
+        layout mismatch (a half-compatible bloom would leak duplicates)."""
+        import os
+
+        from sitemap_scan_spark.operators.urlseen import ShardedBloom
+
+        seen1 = spark.range(0, 1500).select(
+            F.concat(F.lit("https://fb.test/"), F.col("id")).alias("url_canon")
+        )
+        seen2 = spark.range(1500, 2500).select(
+            F.concat(F.lit("https://fb.test/"), F.col("id")).alias("url_canon")
+        )
+        d = str(tmp_path / "bloomdir")
+        mem = ShardedBloom(expected_total=20000, n_shards=8)
+        fb = ShardedBloom(expected_total=20000, n_shards=8, dir=d)
+        for b in (mem, fb):
+            b.update(seen1)
+            b.update(seen2)  # incremental OR-merge into existing files
+
+        # (b) no driver-resident bitmaps in file mode
+        assert fb.shards is None
+        # (c) one file per touched shard, each exactly m/8 bytes
+        files = sorted(f for f in os.listdir(d) if f.endswith(".bloom"))
+        assert 1 <= len(files) <= 8
+        for f in files:
+            assert os.path.getsize(os.path.join(d, f)) == fb.m // 8
+
+        cands = spark.range(2000, 4000).select(
+            F.concat(F.lit("https://fb.test/"), F.col("id")).alias("url_canon")
+        )
+
+        def flags(bloom):
+            dn, nc = bloom.split(cands)
+            return (
+                sorted(r.url_canon for r in dn.collect()),
+                sorted(r.url_canon for r in nc.collect()),
+            )
+
+        # (a) identical split decisions (same hashes, same bit layout)
+        assert flags(fb) == flags(mem)
+
+        # (d) a new instance over the same dir reuses the files
+        fb2 = ShardedBloom(expected_total=20000, n_shards=8, dir=d)
+        assert flags(fb2) == flags(mem)
+
+        # (e) layout mismatch (different shard count) starts empty
+        fb3 = ShardedBloom(expected_total=20000, n_shards=4, dir=d)
+        dn3, nc3 = fb3.split(cands)
+        assert nc3.count() == 0 and dn3.count() == 2000
+
 
 class TestWallClockPoliteness:
     """CRAWL_SPEC Round 3a: a crawl_delay > round_period host is dequeued
