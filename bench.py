@@ -8,6 +8,12 @@ Two parts:
    corpus (200 hosts, hot-host skew) crawled for 3 rounds — reported as
    frontier URLs processed/sec (the BASELINE.json metric).
 
+Multi-trial (round-3 VERDICT item 4): the sandbox is a shared box with
+±2x tenant noise run-to-run, so every number is min-of-N trials
+($SPARK_GRAFT_BENCH_TRIALS, default 3) with the median reported alongside
+— "value"/"queries" carry the mins (the least-noise estimate of true
+cost), "queries_median"/"value_median" the medians, "trials" the count.
+
 Scaling-efficiency evidence (local[8] vs local[32]) lives in
 tools/scaling_bench.py → BENCH/BASELINE.md; this per-round bench keeps to a
 single parallelism level for runtime.
@@ -18,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -55,6 +62,7 @@ def ensure_corpus() -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
 
     import __spark_entry__ as entrymod
     from sitemap_scan_spark.config import CrawlConfig
@@ -65,46 +73,56 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _t in range(trials):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.count()
+            runs[name].append(time.time() - t0)
 
-    # crawl throughput
+    # crawl throughput — fresh workdir per trial, discovery outside timing
+    # (engine construction + sitemap expansion are one-time costs; the
+    # metric is per-round dequeue→fetch→dedup throughput)
     corpus = ensure_corpus()
-    workdir = "/tmp/ssc_bench_workdir"
-    shutil.rmtree(workdir, ignore_errors=True)
-    cfg = CrawlConfig(base_host_budget=400, round_size=50_000, max_depth=6, max_rounds=CRAWL_ROUNDS)
     pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
     seeds = spark.read.parquet(os.path.join(corpus, "seeds.parquet"))
-    # engine construction + discovery = one-time costs (the Iceberg
-    # materialized-view analog + sitemap expansion) — the metric is
-    # per-round dequeue→fetch→dedup throughput
-    eng = CrawlEngine(spark, pages, cfg, workdir)
-    eng.init_frontier(seeds)
-    t0 = time.time()
-    stats = eng.run(seeds)
-    crawl_secs = time.time() - t0
-    n_processed = sum(s["n_taken"] for s in stats)
-    times["crawl_3rounds"] = round(crawl_secs, 3)
-    total += crawl_secs
+    cfg = CrawlConfig(base_host_budget=400, round_size=50_000, max_depth=6, max_rounds=CRAWL_ROUNDS)
+    crawl_runs: list[float] = []
+    n_processed = 0
+    n_rounds = 0
+    for _t in range(trials):
+        workdir = "/tmp/ssc_bench_workdir"
+        shutil.rmtree(workdir, ignore_errors=True)
+        eng = CrawlEngine(spark, pages, cfg, workdir)
+        eng.init_frontier(seeds)
+        t0 = time.time()
+        stats = eng.run(seeds)
+        crawl_runs.append(time.time() - t0)
+        n_processed = sum(s["n_taken"] for s in stats)
+        n_rounds = len(stats)
+    runs["crawl_3rounds"] = crawl_runs
 
+    mins = {name: round(min(v), 3) for name, v in runs.items()}
+    medians = {name: round(statistics.median(v), 3) for name, v in runs.items()}
+    spreads = {
+        name: round(max(v) / max(min(v), 1e-9), 2) for name, v in runs.items()
+    }
     out = {
         "metric": "headline suite wall time + frontier throughput",
-        "value": round(total, 3),
+        "value": round(sum(mins.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": mins,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
+        "trials": trials,
+        "max_over_min_spread": spreads,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "crawl": {
-            "rounds": len(stats),
+            "rounds": n_rounds,
             "urls_processed": n_processed,
-            "urls_per_sec": round(n_processed / max(crawl_secs, 1e-9), 1),
+            "urls_per_sec": round(n_processed / max(min(crawl_runs), 1e-9), 1),
             "corpus_pages": pages.count(),
         },
     }
