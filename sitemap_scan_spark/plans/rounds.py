@@ -638,24 +638,33 @@ class CrawlEngine:
                 F.when(F.col("status") == "fetched", extract_text_col("html")),
             )
         )
-        fetch_log = store.write_table(
-            self.spark,
-            rnd,
-            "fetch_log",
-            enriched.select(
-                "round",
-                "rank",
-                "url_canon",
-                "host",
-                "depth",
-                "priority",
-                "crawl_delay",
-                "status",
-                "text_extracted",
-                "links",
-                "redirect_to",
-            ),
+        # round counters ride the WRITE job as observed metrics — zero extra
+        # passes (at 10^8-URL cluster rounds a per-round status-column rescan
+        # is real money; Observation aggregates map-side during the write)
+        from pyspark.sql import Observation
+
+        obs_fetch = Observation()
+        to_write = enriched.select(
+            "round",
+            "rank",
+            "url_canon",
+            "host",
+            "depth",
+            "priority",
+            "crawl_delay",
+            "status",
+            "text_extracted",
+            "links",
+            "redirect_to",
+        ).observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum((F.col("status") == "fetched").cast("long")).alias("n_fetched"),
+            F.sum((F.col("status") == "miss").cast("long")).alias("n_miss"),
+            F.sum((F.col("status") == "redirect").cast("long")).alias("n_redirect"),
         )
+        fetch_log = store.write_table(self.spark, rnd, "fetch_log", to_write)
+        fetch_counts = obs_fetch.get  # populated by the write job
         if hasattr(dq, "_ssc_persisted"):
             dq._ssc_persisted.unpersist()
         if wallclock:
@@ -748,12 +757,22 @@ class CrawlEngine:
             fresh = exact_anti_join(cands, frontier.select("url_canon"))
         # robots gate AT INSERT — only the (small) fresh set is joined
         # against the rules dim; blocked rows enter the frontier terminally
+        obs_ins = Observation()
         new_rows = store.write_table(
             self.spark,
             rnd,
             "frontier_inserts",
-            self._gate_inserts(fresh.select("url_canon", "depth", "priority"), rnd),
+            self._gate_inserts(
+                fresh.select("url_canon", "depth", "priority"), rnd
+            ).observe(
+                obs_ins,
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum((F.col("status") == "robots_blocked").cast("long")).alias(
+                    "n_blocked"
+                ),
+            ),
         )
+        ins_counts = obs_ins.get
         if self._bloom is not None:
             self._bloom.update(new_rows.select("url_canon"))
         _mark("candidates+anti-join+write inserts+bloom")
@@ -781,29 +800,15 @@ class CrawlEngine:
             store.write_table(self.spark, rnd, "frontier", frontier_next)
             _mark("compact frontier snapshot")
 
-        # counters from parquet footers + tiny pyarrow scans (no Spark jobs)
-        import collections
-
-        import pyarrow.parquet as pq
-
-        by_status = collections.Counter(
-            pq.read_table(
-                os.path.join(store._dir(rnd), "fetch_log"), columns=["status"]
-            )["status"].to_pylist()
-        )
-        ins_status = collections.Counter(
-            pq.read_table(
-                os.path.join(store._dir(rnd), "frontier_inserts"), columns=["status"]
-            )["status"].to_pylist()
-        )
+        # counters were observed during the two writes above — no rescans
         counters = {
             "round": rnd,
-            "n_blocked": ins_status.get("robots_blocked", 0),
-            "n_taken": store.table_rows(rnd, "fetch_log"),
-            "n_fetched": by_status.get("fetched", 0),
-            "n_miss": by_status.get("miss", 0),
-            "n_redirect": by_status.get("redirect", 0),
-            "n_new": store.table_rows(rnd, "frontier_inserts"),
+            "n_blocked": int(ins_counts["n_blocked"] or 0),
+            "n_taken": int(fetch_counts["n_taken"] or 0),
+            "n_fetched": int(fetch_counts["n_fetched"] or 0),
+            "n_miss": int(fetch_counts["n_miss"] or 0),
+            "n_redirect": int(fetch_counts["n_redirect"] or 0),
+            "n_new": int(ins_counts["n_new"] or 0),
         }
         counters["frontier_size"] = frontier_size + counters["n_new"]
         # pending is tracked arithmetically so run() never rescans the
