@@ -616,6 +616,24 @@ def q_rendered_diff(spark, sf):
     )
 
 
+def q_progressive_diff(spark, sf):
+    """F20 progressive variant (generator.ts:220-246) through the real
+    pandas UDF at chunk_size=200: pairs whose 200-char PREFIXES match render
+    as one context row even when the full texts differ (the chunk-boundary
+    behavior), and is_partial flags sides longer than the chunk. Single-line
+    non-empty testdata texts keep the expected string SQL-expressible."""
+    from sitemap_scan_spark.plans.diffing import with_progressive_diff
+
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_1")
+    )
+    b = d.select((F.col("doc_id") - 250).alias("id_a"), F.col("text").alias("text_2"))
+    return with_progressive_diff(a.join(b, "id_a"), chunk_size=200).select(
+        "id_a", F.sha2(F.col("diff"), 256).alias("diff_hash"), "is_partial"
+    )
+
+
 def q_json_extract_agg(spark, sf):
     """F16 surface: JSON field extraction + aggregation over events.props."""
     ev = _t(spark, sf, "events")
@@ -702,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "simhash_near": q_simhash_near,
         "rendered_diff": q_rendered_diff,
+        "progressive_diff": q_progressive_diff,
         "json_extract_agg": q_json_extract_agg,
         "json_normalize": q_json_normalize,
     }
@@ -1127,6 +1146,19 @@ def oracle_sql() -> dict[str, str]:
         # single-line non-empty texts (true of the testdata at every sf):
         # the reference's line renderer reduces to one context row when
         # equal, else a '- old\n+ new' pair
+        # chunked prefixes: equal 200-char prefixes render as ONE context
+        # row even when the full texts differ (the chunk boundary), and
+        # is_partial = either side longer than the chunk
+        "progressive_diff": """
+            SELECT a.doc_id AS id_a,
+                   sha256(CASE WHEN substr(a.text, 1, 200) = substr(b.text, 1, 200)
+                               THEN '  ' || substr(b.text, 1, 200)
+                               ELSE '- ' || substr(a.text, 1, 200)
+                                    || chr(10) || '+ ' || substr(b.text, 1, 200)
+                          END) AS diff_hash,
+                   greatest(length(a.text), length(b.text)) > 200 AS is_partial
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+        """,
         "rendered_diff": """
             SELECT a.doc_id AS id_a,
                    sha256(CASE WHEN a.text = b.text THEN '  ' || b.text

@@ -193,6 +193,40 @@ def with_rendered_diff(
     return diff.withColumn("diff", render(F.col(col1), F.col(col2)))
 
 
+def with_progressive_diff(
+    diff: DataFrame,
+    col1: str = "text_1",
+    col2: str = "text_2",
+    chunk_size: int = 50_000,
+) -> DataFrame:
+    """Append the F20 progressive rendered diff (generator.ts:220-246):
+    ``diff`` over only the first ``chunk_size`` chars of each side plus the
+    ``is_partial`` flag (more content exists past the chunk). Arrow-batched
+    pandas over the (pre-filtered) changed subset, like
+    :func:`with_rendered_diff`."""
+    from pyspark.sql.types import BooleanType, StringType
+
+    schema = StructType(
+        [
+            StructField("diff", StringType()),
+            StructField("is_partial", BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def render(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        rows = [render_progressive_diff_one(x, y, chunk_size) for x, y in zip(a, b)]
+        return pd.DataFrame(
+            {"diff": [r[0] for r in rows], "is_partial": [r[1] for r in rows]}
+        )
+
+    return (
+        diff.withColumn("_pd", render(F.col(col1), F.col(col2)))
+        .select("*", "_pd.diff", "_pd.is_partial")
+        .drop("_pd")
+    )
+
+
 def with_change_magnitude(diff: DataFrame) -> DataFrame:
     """Append F14 magnitudes to a round_pair_diff that kept text_1/text_2."""
     return diff.withColumn(

@@ -142,6 +142,30 @@ class TestRenderedDiff:
         assert partial is True and d == "  " + "x" * 50_000
         d2, partial2 = render_progressive_diff_one("a", "b", chunk_size=100)
         assert partial2 is False and d2 == "- a\n+ b"
+        # chunk boundary: texts EQUAL within the chunk but differing beyond
+        # it render as a pure context row with is_partial=True (the caller
+        # fetches the next chunk to see the change — generator.ts:220-246)
+        d3, partial3 = render_progressive_diff_one(
+            "p" * 100 + "TAIL_A", "p" * 100 + "TAIL_B", chunk_size=100
+        )
+        assert partial3 is True and d3 == "  " + "p" * 100
+
+    def test_with_progressive_diff_df(self, spark):
+        from sitemap_scan_spark.plans.diffing import with_progressive_diff
+
+        df = spark.createDataFrame(
+            [
+                ("same", "same"),
+                ("pref" + "x" * 10 + "A", "pref" + "x" * 10 + "B"),
+                ("short1", "short2"),
+            ],
+            "text_1 string, text_2 string",
+        )
+        rows = with_progressive_diff(df, chunk_size=14).orderBy("text_1").collect()
+        by = {r.text_1: (r.diff, r.is_partial) for r in rows}
+        assert by["same"] == ("  same", False)
+        assert by["prefxxxxxxxxxxA"] == ("  " + "pref" + "x" * 10, True)
+        assert by["short1"] == ("- short1\n+ short2", False)
 
     def test_with_rendered_diff_df(self, fetch_log, spark):
         from sitemap_scan_spark.plans.diffing import (
