@@ -12,6 +12,7 @@ engine session leaves scan splits at 128 MB for the same reason).
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Callable, Iterator
 
 import numpy as np
@@ -54,13 +55,161 @@ def deterministic_fake_decode(payload: bytes, kind: str, dim: int = 16) -> np.nd
 
 
 def real_decode_stub(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
-    """The production hook. Not implemented in this container (no PIL/
-    ffmpeg); the Spark plumbing around it is fully exercised with
-    :func:`deterministic_fake_decode`."""
+    """The production hook for EXTERNAL formats (JPEG/MP3/H.264 — no PIL/
+    ffmpeg in this container); the Spark plumbing around it is fully
+    exercised with :func:`deterministic_fake_decode` and, end-to-end on real
+    decoded content, with :func:`numpy_decode` over the self-describing
+    formats below."""
     raise NotImplementedError(
         "media codecs unavailable in this environment; inject a decoder via "
         "extract_features(decode_fn=...)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs for self-describing formats (no external libs): binary
+# PPM (P6) images, PCM16 WAV audio, and a length-prefixed PPM-frame container
+# for video. These are REAL decoders over real pixel/sample arrays — the
+# multimodal path (decode → feature-extract → resize / frame-sample) runs
+# end-to-end in-container on them; swap numpy_decode for a PIL/ffmpeg-backed
+# decode_fn for JPEG/MP3/H.264 without touching the Spark plumbing.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pix: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → binary PPM (P6)."""
+    h, w = pix.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 (h, w, 3). Raises ValueError on bad magic."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6)")
+    parts: list[int] = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    n = w * h * 3
+    return np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → minimal RIFF/WAVE (PCM16)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Minimal RIFF/WAVE (PCM16 mono) → (rate, int16 samples)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    rate = struct.unpack("<I", payload[24:28])[0]
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            return rate, np.frombuffer(payload, dtype="<i2", count=clen // 2, offset=pos + 8)
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("no data chunk")
+
+
+def encode_video(frames: list[np.ndarray], frame_ms: int = 1000) -> bytes:
+    """PPM-frame container: magic + frame_ms + per-frame length-prefixed
+    PPMs. Frame timestamps are implicit (i * frame_ms)."""
+    import struct
+
+    blobs = [encode_ppm(f) for f in frames]
+    out = [b"MJV1", struct.pack("<II", len(blobs), frame_ms)]
+    for b in blobs:
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def extract_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+    """Decode the frame covering ``ts_ms`` from an MJV1 container — the
+    per-frame decode step behind :func:`frame_sample_plan`'s explode."""
+    import struct
+
+    if payload[:4] != b"MJV1":
+        raise ValueError("not an MJV1 container")
+    n, frame_ms = struct.unpack("<II", payload[4:12])
+    idx = min(max(ts_ms // max(frame_ms, 1), 0), n - 1)
+    pos = 12
+    for i in range(n):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if i == idx:
+            return decode_ppm(payload[pos : pos + ln])
+        pos += ln
+    raise ValueError("frame index out of range")
+
+
+def _image_features(pix: np.ndarray, dim: int) -> np.ndarray:
+    """Grayscale block-mean resize to a g×g grid (g² = dim) — a real
+    decode + resize + featurize over actual pixels, normalized to [0, 1]."""
+    g = max(1, int(math.isqrt(dim)))
+    gray = pix.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    hh, ww = (h // g) * g, (w // g) * g
+    gray = gray[:hh, :ww].reshape(g, hh // g, g, ww // g).mean(axis=(1, 3))
+    feat = (gray / 255.0).ravel()
+    return np.pad(feat, (0, dim - feat.size)).astype(np.float32)
+
+
+def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Log-energy in ``dim`` rfft bands over the real sample array."""
+    x = samples.astype(np.float32) / 32768.0
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec, dim)
+    e = np.array([b.sum() for b in bands], dtype=np.float32)
+    return np.log1p(e).astype(np.float32)
+
+
+def numpy_decode(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
+    """REAL in-container decoder: PPM pixels / WAV samples / MJV1 frames →
+    ``dim`` features. Videos average their frames' image features."""
+    if kind == "image":
+        return _image_features(decode_ppm(payload), dim)
+    if kind == "audio":
+        return _audio_features(decode_wav(payload)[1], dim)
+    if kind == "video":
+        import struct
+
+        n = struct.unpack("<I", payload[4:8])[0]
+        frame_ms = struct.unpack("<I", payload[8:12])[0]
+        feats = [
+            _image_features(extract_frame(payload, i * frame_ms), dim)
+            for i in range(n)
+        ]
+        return np.mean(feats, axis=0).astype(np.float32)
+    raise ValueError(f"unknown kind {kind!r}")
 
 
 def extract_features(
@@ -111,6 +260,53 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload")
     )
+
+
+def synth_media_numpy(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payloads the numpy codecs decode:
+    gradient PPM images, sine-wave WAVs, multi-frame MJV1 videos — media_id
+    parameterizes the content so features differ row to row."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w = h = 16 + (i % 4) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            pix = np.stack(
+                [
+                    (xx * (2 + i % 5)) % 256,
+                    (yy * (3 + i % 7)) % 256,
+                    ((xx + yy) * (1 + i % 3)) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, kind, encode_ppm(pix), "image/x-portable-pixmap",
+                         w, h, None))
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(rate // 2, dtype=np.float32) / rate  # 0.5 s
+            # two tones: a per-row fundamental spread across the 16 rfft
+            # bands plus a common 310 Hz hum (so audio rows share SOME
+            # spectral mass but no two rows' features coincide)
+            f1 = 250.0 * (1 + (i % 14)) + 11.0 * (i % 5)
+            samples = (
+                (np.sin(2 * np.pi * f1 * t) + 0.4 * np.sin(2 * np.pi * 310.0 * t))
+                * 10000
+            ).astype(np.int16)
+            rows.append((i, kind, encode_wav(samples, rate), "audio/wav",
+                         None, None, 500))
+        else:
+            frames = []
+            for f in range(3):
+                yy, xx = np.mgrid[0:16, 0:16]
+                frames.append(
+                    (((xx + yy + f * 7 + i) * 9) % 256)
+                    .astype(np.uint8)[..., None]
+                    .repeat(3, axis=2)
+                )
+            rows.append((i, kind, encode_video(frames, frame_ms=1000),
+                         "video/x-mjv1", 16, 16, 3000))
+    return spark.createDataFrame(rows, MEDIA_DDL)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
