@@ -67,6 +67,7 @@ class CrawlEngine:
         self.store = RoundStore(os.path.join(workdir, "rounds"))
         self.use_bloom = use_bloom
         self._bloom: ShardedBloom | None = None
+        self._bloom_decision: dict | None = None  # measured gray-zone crossover
         # frontier snapshot cached hash-partitioned on url_canon between
         # rounds: the anti-join and the status-update join then reuse the
         # partitioning instead of reshuffling the full frontier every round
@@ -554,6 +555,72 @@ class CrawlEngine:
             "n_new": n_new,
         }
 
+    # ------------------------------------------------------------ url-seen
+    def _ensure_bloom(self, frontier: DataFrame) -> None:
+        """Seed the URL-seen filter once per process (fresh run OR resume):
+        one full-frontier pass; afterwards it is OR-updated with each
+        round's insert delta only."""
+        if self._bloom is not None:
+            return
+        est = max(self.pages_canon.count() * 2, 1 << 16)
+        # file-backed shard lifecycle: bitmaps live one-file-per-shard under
+        # the workdir; the driver holds none of them (fresh=True — the
+        # full-frontier seed below rebuilds state, so stale files from a
+        # prior process must not linger)
+        self._bloom = ShardedBloom(
+            expected_total=est,
+            n_shards=self.cfg.bloom_shards,
+            dir=os.path.join(self.store.root, "_urlseen_bloom"),
+            fresh=True,
+        )
+        self._bloom.update(frontier.select("url_canon"))
+
+    def _decide_urlseen_mode(
+        self, frontier_size: int, cands: DataFrame, frontier: DataFrame
+    ) -> tuple[bool, dict | None]:
+        """Bloom pays for itself once the frontier outgrows what a plain
+        shuffle anti-join handles cheaply; below that its extra jobs/round
+        are pure overhead (SURVEY §4.3 — the exact anti-join is always the
+        correctness backstop either way, so BOTH modes give identical
+        output and the flip is purely a plan choice).
+
+        Far from ``cfg.bloom_min_frontier`` the static decision stands. In
+        the gray zone [min/2, 2·min] the crossover is MEASURED on this
+        round's real inputs — both paths timed once, result cached on the
+        engine until the frontier doubles/halves — and the measurement is
+        recorded in the round's manifest (``bloom_crossover``), so the
+        threshold is evidence in the crawl's own lineage, not a guess.
+        Returns (use_bloom, measurement-or-None)."""
+        if not self.use_bloom:
+            return False, None
+        lo, hi = self.cfg.bloom_min_frontier // 2, self.cfg.bloom_min_frontier * 2
+        if frontier_size < lo:
+            return False, None
+        if frontier_size > hi:
+            return True, None
+        d = self._bloom_decision
+        if d is not None and d["frontier_size"] / 2 <= frontier_size <= d["frontier_size"] * 2:
+            return d["use_bloom"], None
+        seen = frontier.select("url_canon")
+        cands_m = cands.persist()
+        t0 = time.time()
+        n_exact = exact_anti_join(cands_m, seen).count()
+        secs_exact = time.time() - t0
+        self._ensure_bloom(frontier)  # seeding amortizes across rounds — untimed
+        t0 = time.time()
+        n_bloom = self._bloom.prefiltered_anti_join(cands_m, seen).count()
+        secs_bloom = time.time() - t0
+        cands_m.unpersist()
+        assert n_exact == n_bloom  # both paths are exact by construction
+        d = {
+            "frontier_size": frontier_size,
+            "secs_exact": round(secs_exact, 3),
+            "secs_bloom": round(secs_bloom, 3),
+            "use_bloom": secs_bloom < secs_exact,
+        }
+        self._bloom_decision = d
+        return d["use_bloom"], d
+
     # ----------------------------------------------------------------- round
     def run_round(self, rnd: int) -> dict:
         """One crawl round, WRITE-FIRST: each stage materializes its delta to
@@ -732,24 +799,11 @@ class CrawlEngine:
         # to be compatible with; crawl_order()/url_seen() make the same
         # single-format assumption).
         frontier_size = store.read_manifest(rnd - 1)["counters"]["frontier_size"]
-        use_bloom_now = self.use_bloom and frontier_size >= self.cfg.bloom_min_frontier
+        use_bloom_now, bloom_decision = self._decide_urlseen_mode(
+            frontier_size, cands, frontier
+        )
         if use_bloom_now:
-            if self._bloom is None:
-                # first round of this process (fresh run OR resume): one
-                # full-frontier pass seeds the filter; afterwards it is
-                # OR-updated with each round's insert delta only.
-                est = max(self.pages_canon.count() * 2, 1 << 16)
-                # file-backed shard lifecycle: bitmaps live one-file-per-
-                # shard under the workdir; the driver holds none of them
-                # (fresh=True — the full-frontier seed below rebuilds state,
-                # so stale files from a prior process must not linger)
-                self._bloom = ShardedBloom(
-                    expected_total=est,
-                    n_shards=self.cfg.bloom_shards,
-                    dir=os.path.join(self.store.root, "_urlseen_bloom"),
-                    fresh=True,
-                )
-                self._bloom.update(frontier.select("url_canon"))
+            self._ensure_bloom(frontier)
             fresh = self._bloom.prefiltered_anti_join(
                 cands, frontier.select("url_canon")
             )
@@ -803,6 +857,8 @@ class CrawlEngine:
         # counters were observed during the two writes above — no rescans
         counters = {
             "round": rnd,
+            "urlseen_mode": "bloom" if use_bloom_now else "exact",
+            **({"bloom_crossover": bloom_decision} if bloom_decision else {}),
             "n_blocked": int(ins_counts["n_blocked"] or 0),
             "n_taken": int(fetch_counts["n_taken"] or 0),
             "n_fetched": int(fetch_counts["n_fetched"] or 0),
@@ -873,6 +929,7 @@ class CrawlEngine:
 
         _reset(self.store)
         self._bloom = None
+        self._bloom_decision = None
 
     def overview(self) -> DataFrame:
         """3.3 analog of GET /api/sites/overview (index.ts:399-425): one row
