@@ -6,6 +6,13 @@ times dequeue(salt=1) vs dequeue(salt=16) at the same core count, verifies
 the outputs are IDENTICAL (salting is semantics-preserving pruning), and
 appends the numbers to BENCH/BASELINE.md.
 
+Also measures the FETCH JOIN under a 50%-skew *taken* set (round-3 VERDICT
+item 8): the engine broadcasts the round-sized taken side and streams the
+pages scan past it, so output partitioning follows the (uniform) scan
+splits, not hosts — a skewed taken set must cost the same as a uniform one
+and leave no straggler partition. Reported: skew/uniform wall ratio +
+max/median output-partition balance.
+
 Usage: python tools/skew_bench.py [--cores 16] [--budget 500]
 """
 
@@ -81,6 +88,60 @@ def main() -> None:
             f"|---|---|---|---|\n"
             f"| {results['salt_1']}s | {results['salt_16']}s "
             f"| {results['speedup']}× | {'yes' if diff == 0 else 'NO'} |\n"
+        )
+
+    # ---- fetch join under a 50%-skew taken set -----------------------------
+    pages = (
+        s.read.parquet(os.path.join(CORPUS, "pages.parquet"))
+        .select(canonicalize_udf("url").alias("url_canon"), "html")
+        .filter(F.col("url_canon").isNotNull())
+    )
+    take_n = budget * 64
+    hot_rows = frontier.filter(F.col("host") == hot.host).limit(take_n // 2)
+    cold_uniform = frontier.filter(F.col("host") != hot.host)
+    skew_taken = hot_rows.unionByName(
+        cold_uniform.limit(take_n - take_n // 2)
+    ).select("url_canon").localCheckpoint(eager=True)
+    uniform_taken = (
+        cold_uniform.limit(take_n).select("url_canon").localCheckpoint(eager=True)
+    )
+
+    def fetch_join(taken):
+        # the engine's fetch-join shape (rounds.py: broadcast inner) + a
+        # content-dependent agg so the html column is actually decoded
+        joined = pages.join(F.broadcast(taken), "url_canon", "inner")
+        balance = (
+            joined.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        sizes = sorted(r.rows for r in balance)
+        t0 = time.time()
+        joined.agg(F.sum(F.length("html"))).collect()
+        dt = round(time.time() - t0, 2)
+        med = sizes[len(sizes) // 2] if sizes else 0
+        return dt, round(max(sizes) / max(med, 1), 2) if sizes else 0.0
+
+    t_uni, bal_uni = fetch_join(uniform_taken)
+    t_skew, bal_skew = fetch_join(skew_taken)
+    fj = {
+        "taken_rows": take_n,
+        "uniform_secs": t_uni,
+        "skew_secs": t_skew,
+        "skew_over_uniform": round(t_skew / max(t_uni, 1e-9), 2),
+        "partition_max_over_median_uniform": bal_uni,
+        "partition_max_over_median_skew": bal_skew,
+    }
+    print(json.dumps(fj))
+    with open(os.path.join("BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n### Fetch join under 50%-skew taken set "
+            f"({time.strftime('%Y-%m-%d %H:%M')}, {take_n} taken rows, cores {cores})\n\n"
+            f"| uniform taken | 50%-hot-host taken | skew/uniform | "
+            f"partition max/median (uniform) | (skew) |\n"
+            f"|---|---|---|---|---|\n"
+            f"| {t_uni}s | {t_skew}s | {fj['skew_over_uniform']}× "
+            f"| {bal_uni} | {bal_skew} |\n"
         )
     s.stop()
 
