@@ -68,12 +68,26 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self._bloom: ShardedBloom | None = None
         self._bloom_decision: dict | None = None  # measured gray-zone crossover
-        # frontier snapshot cached hash-partitioned on url_canon between
-        # rounds: the anti-join and the status-update join then reuse the
-        # partitioning instead of reshuffling the full frontier every round
-        # (the in-memory analog of an Iceberg table bucketed by url_canon)
-        self._frontier_cache: DataFrame | None = None
-        self._frontier_cache_round: int | None = None
+        # O(round)-per-round caches (round 3; SCALE_DESIGN.md). The old
+        # design re-shuffled + re-persisted the FULL latest-wins frontier
+        # view every round — O(frontier) work per round that dominates at
+        # 10^10 rows. Split instead into:
+        #  - seen-keys BASE: url_canon only, hash-partitioned + persisted,
+        #    append-only so it is UNCHANGED between compactions (zero
+        #    per-round cost; anti-joins against it shuffle only the probe
+        #    side) — the in-memory analog of an Iceberg table bucketed by
+        #    url_canon;
+        #  - seen-keys TAIL: the insert deltas since the base (≤
+        #    compact_every round-sized parquet reads), anti-joined after
+        #    the base (cands ∖ (A∪B) = (cands ∖ A) ∖ B);
+        #  - PENDING cache: the dequeue input, advanced each round by a
+        #    broadcast anti-join of the round's taken keys + union of the
+        #    round's pending inserts — NARROW (no shuffle), O(round).
+        self._pending_cache: DataFrame | None = None
+        self._pending_round: int | None = None
+        self._seen_base: DataFrame | None = None
+        self._seen_tail_rounds: list[int] = []
+        self._seen_through: int | None = None
         if refresh_pages:
             # the pages table changed underneath (new crawl epoch) —
             # rebuild the canonicalized materialization
@@ -356,48 +370,92 @@ class CrawlEngine:
             )
         return rows
 
-    def _frontier(self, rnd: int) -> DataFrame:
-        """The frontier state of round ``rnd``, cached hash-partitioned on
-        url_canon (one shuffle per round instead of one per consumer).
-
-        Incremental fast path: when the cache holds round ``rnd-1``, round
-        ``rnd``'s view is the cached DF + that single round's deltas (one
-        broadcast status join + one union) — the base snapshot and the
-        whole delta chain are never re-read or re-windowed. Cold path
-        (resume, first round) falls back to :meth:`frontier_at`."""
-        if self._frontier_cache is not None and self._frontier_cache_round == rnd:
-            return self._frontier_cache
-        store = self.store
-        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        src = None
-        if (
-            self._frontier_cache is not None
-            and self._frontier_cache_round == rnd - 1
-            and not store.has_table(rnd, "frontier")  # snapshot wins if present
-            and store.has_table(rnd, "fetch_log")
-        ):
-            upd = store.read_table(self.spark, rnd, "fetch_log").select(
-                "url_canon", F.col("status").alias("_new_status")
-            )
-            src = (
-                self._frontier_cache.join(F.broadcast(upd), "url_canon", "left")
-                .withColumn("status", F.coalesce("_new_status", "status"))
-                .drop("_new_status")
-            )
-            if store.has_table(rnd, "frontier_inserts"):
-                src = src.unionByName(
-                    store.read_table(self.spark, rnd, "frontier_inserts")
-                )
-        if src is None:
-            src = self.frontier_at(rnd)
-        df = src.repartition(n, "url_canon").persist()
-        # materialize BEFORE dropping the parent cache the plan reads from
+    def _pending(self, rnd: int) -> DataFrame:
+        """The PENDING frontier rows as of round ``rnd`` — the dequeue
+        input. Cached and advanced NARROWLY each round by
+        :meth:`_advance_pending` (broadcast anti of the round's taken keys
+        + union of the round's pending inserts — no shuffle, O(round)).
+        Cold path (process start, post-refresh): one latest-wins
+        reconstruction via :meth:`frontier_at`."""
+        if self._pending_cache is not None and self._pending_round == rnd:
+            return self._pending_cache
+        df = (
+            self.frontier_at(rnd)
+            .filter(F.col("status") == "pending")
+            .persist()
+        )
         df.count()
-        if self._frontier_cache is not None:
-            self._frontier_cache.unpersist()
-        self._frontier_cache = df
-        self._frontier_cache_round = rnd
+        if self._pending_cache is not None:
+            self._pending_cache.unpersist()
+        self._pending_cache = df
+        self._pending_round = rnd
         return df
+
+    def _advance_pending(
+        self, rnd: int, taken_keys: DataFrame, new_rows: DataFrame, n_taken: int
+    ) -> None:
+        """pending(rnd) = pending(rnd-1) ∖ taken(rnd) ∪ new-pending(rnd).
+        Both deltas are round-sized and disk-backed; the anti-join
+        broadcasts the taken keys (narrow — the cached pending set is never
+        shuffled). Falls back to a shuffle anti-join for pathologically
+        large rounds where the broadcast would not fit."""
+        if self._pending_cache is None or self._pending_round != rnd - 1:
+            return  # no valid parent — next _pending() call rebuilds cold
+        keys = taken_keys.select("url_canon")
+        if n_taken <= 4_000_000:
+            keys = F.broadcast(keys)
+        nxt = (
+            self._pending_cache.join(keys, "url_canon", "left_anti")
+            .unionByName(
+                new_rows.filter(F.col("status") == "pending").select(
+                    *self._pending_cache.columns
+                )
+            )
+            .persist()
+        )
+        nxt.count()  # materialize BEFORE dropping the parent cache
+        self._pending_cache.unpersist()
+        self._pending_cache = nxt
+        self._pending_round = rnd
+
+    def _seen_parts(self, rnd: int) -> tuple[DataFrame, DataFrame | None]:
+        """URL-seen keys through round ``rnd`` as (BASE, TAIL-or-None).
+
+        BASE is url_canon-only, hash-partitioned + persisted, and — because
+        the seen set is append-only — UNCHANGED between compactions: the
+        per-round anti-join against it shuffles only the probe side. TAIL
+        is the union of the insert deltas not yet folded in (≤
+        compact_every round-sized parquet reads). Cold path (process
+        start, post-refresh): one full-view key scan rebuilds the base."""
+        if self._seen_base is None or self._seen_through != rnd:
+            self._set_seen_base(self.frontier_at(rnd).select("url_canon"))
+            self._seen_tail_rounds = []
+            self._seen_through = rnd
+        tail = None
+        if self._seen_tail_rounds:
+            paths = [
+                os.path.join(self.store._dir(r), "frontier_inserts")
+                for r in self._seen_tail_rounds
+            ]
+            tail = self.spark.read.parquet(*paths).select("url_canon")
+        return self._seen_base, tail
+
+    def _set_seen_base(self, keys: DataFrame) -> None:
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = keys.repartition(n, "url_canon").persist()
+        df.count()
+        if self._seen_base is not None:
+            self._seen_base.unpersist()
+        self._seen_base = df
+
+    def _anti_seen(self, df: DataFrame, seen_base: DataFrame, seen_tail: DataFrame | None) -> DataFrame:
+        """df ∖ seen, distributed over the base/tail split:
+        df ∖ (A ∪ B) = (df ∖ A) ∖ B — the base side reuses its persisted
+        partitioning (only df shuffles), the tail join is round-sized."""
+        out = exact_anti_join(df, seen_base)
+        if seen_tail is not None:
+            out = exact_anti_join(out, seen_tail)
+        return out
 
     # ---------------------------------------------------------- re-discovery
     def _discovery_state_path(self) -> str:
@@ -556,27 +614,32 @@ class CrawlEngine:
         }
 
     # ------------------------------------------------------------ url-seen
-    def _ensure_bloom(self, frontier: DataFrame) -> None:
+    def _ensure_bloom(self, seen_base: DataFrame, seen_tail: DataFrame | None) -> None:
         """Seed the URL-seen filter once per process (fresh run OR resume):
-        one full-frontier pass; afterwards it is OR-updated with each
-        round's insert delta only."""
+        one pass over the seen-key set; afterwards it is OR-updated with
+        each round's insert delta only."""
         if self._bloom is not None:
             return
         est = max(self.pages_canon.count() * 2, 1 << 16)
         # file-backed shard lifecycle: bitmaps live one-file-per-shard under
         # the workdir; the driver holds none of them (fresh=True — the
-        # full-frontier seed below rebuilds state, so stale files from a
-        # prior process must not linger)
+        # full seed below rebuilds state, so stale files from a prior
+        # process must not linger)
         self._bloom = ShardedBloom(
             expected_total=est,
             n_shards=self.cfg.bloom_shards,
             dir=os.path.join(self.store.root, "_urlseen_bloom"),
             fresh=True,
         )
-        self._bloom.update(frontier.select("url_canon"))
+        seen = seen_base if seen_tail is None else seen_base.unionByName(seen_tail)
+        self._bloom.update(seen)
 
     def _decide_urlseen_mode(
-        self, frontier_size: int, cands: DataFrame, frontier: DataFrame
+        self,
+        frontier_size: int,
+        cands: DataFrame,
+        seen_base: DataFrame,
+        seen_tail: DataFrame | None,
     ) -> tuple[bool, dict | None]:
         """Bloom pays for itself once the frontier outgrows what a plain
         shuffle anti-join handles cheaply; below that its extra jobs/round
@@ -590,27 +653,36 @@ class CrawlEngine:
         engine until the frontier doubles/halves — and the measurement is
         recorded in the round's manifest (``bloom_crossover``), so the
         threshold is evidence in the crawl's own lineage, not a guess.
-        Returns (use_bloom, measurement-or-None)."""
+
+        Returns (use_bloom, measurement-or-None, cands) — when a
+        measurement ran, the returned ``cands`` is the PERSISTED handle the
+        measurement already computed; the caller reuses it for the real
+        write (the candidate pipeline is never recomputed) and unpersists
+        it after the insert delta lands on disk."""
         if not self.use_bloom:
-            return False, None
+            return False, None, cands
         lo, hi = self.cfg.bloom_min_frontier // 2, self.cfg.bloom_min_frontier * 2
         if frontier_size < lo:
-            return False, None
+            return False, None, cands
         if frontier_size > hi:
-            return True, None
+            return True, None, cands
         d = self._bloom_decision
         if d is not None and d["frontier_size"] / 2 <= frontier_size <= d["frontier_size"] * 2:
-            return d["use_bloom"], None
-        seen = frontier.select("url_canon")
+            return d["use_bloom"], None, cands
         cands_m = cands.persist()
         t0 = time.time()
-        n_exact = exact_anti_join(cands_m, seen).count()
+        n_exact = self._anti_seen(cands_m, seen_base, seen_tail).count()
         secs_exact = time.time() - t0
-        self._ensure_bloom(frontier)  # seeding amortizes across rounds — untimed
+        # seeding amortizes across rounds — untimed
+        self._ensure_bloom(seen_base, seen_tail)
         t0 = time.time()
-        n_bloom = self._bloom.prefiltered_anti_join(cands_m, seen).count()
+        definite_new, needs_check = self._bloom.split(cands_m)
+        n_bloom = (
+            definite_new.unionByName(
+                self._anti_seen(needs_check, seen_base, seen_tail)
+            ).count()
+        )
         secs_bloom = time.time() - t0
-        cands_m.unpersist()
         assert n_exact == n_bloom  # both paths are exact by construction
         d = {
             "frontier_size": frontier_size,
@@ -619,7 +691,7 @@ class CrawlEngine:
             "use_bloom": secs_bloom < secs_exact,
         }
         self._bloom_decision = d
-        return d["use_bloom"], d
+        return d["use_bloom"], d, cands_m
 
     # ----------------------------------------------------------------- round
     def run_round(self, rnd: int) -> dict:
@@ -640,12 +712,11 @@ class CrawlEngine:
 
         store = self.store
         store.begin_round(rnd)
-        frontier = self._frontier(rnd - 1)
         # 1. robots gating happened at insert (status + crawl_delay live in
         # the frontier row), so every pending row is eligible by construction
         # — except hosts sleeping off a crawl_delay > round_period (CRAWL_SPEC
         # Round 3a: wall-clock politeness), gated by the tiny host_state dim
-        eligible = frontier.filter(F.col("status") == "pending")
+        eligible = self._pending(rnd - 1)
         period = cfg.round_period()
         wallclock = self._wallclock_politeness_on()
         prev_host_state = self._host_state(rnd - 1) if wallclock else None
@@ -799,16 +870,21 @@ class CrawlEngine:
         # to be compatible with; crawl_order()/url_seen() make the same
         # single-format assumption).
         frontier_size = store.read_manifest(rnd - 1)["counters"]["frontier_size"]
-        use_bloom_now, bloom_decision = self._decide_urlseen_mode(
-            frontier_size, cands, frontier
+        seen_base, seen_tail = self._seen_parts(rnd - 1)
+        use_bloom_now, bloom_decision, cands = self._decide_urlseen_mode(
+            frontier_size, cands, seen_base, seen_tail
         )
         if use_bloom_now:
-            self._ensure_bloom(frontier)
-            fresh = self._bloom.prefiltered_anti_join(
-                cands, frontier.select("url_canon")
+            self._ensure_bloom(seen_base, seen_tail)
+            # bloom prefilter + the base/tail exact backstop: the persisted
+            # base side never re-shuffles; only the (small) bloom-positive
+            # set and the round-sized tail move
+            definite_new, needs_check = self._bloom.split(cands)
+            fresh = definite_new.unionByName(
+                self._anti_seen(needs_check, seen_base, seen_tail)
             )
         else:
-            fresh = exact_anti_join(cands, frontier.select("url_canon"))
+            fresh = self._anti_seen(cands, seen_base, seen_tail)
         # robots gate AT INSERT — only the (small) fresh set is joined
         # against the rules dim; blocked rows enter the frontier terminally
         obs_ins = Observation()
@@ -827,6 +903,8 @@ class CrawlEngine:
             ),
         )
         ins_counts = obs_ins.get
+        if bloom_decision is not None:
+            cands.unpersist()  # the measurement's persisted candidate set
         if self._bloom is not None:
             self._bloom.update(new_rows.select("url_canon"))
         _mark("candidates+anti-join+write inserts+bloom")
@@ -834,25 +912,30 @@ class CrawlEngine:
         # (url_seen is DERIVED from fetch_log + frontier_inserts at read
         # time — see url_seen(); no separate per-round write)
 
+        # advance the O(round) caches: pending loses this round's taken keys
+        # and gains its pending inserts (narrow); the seen tail grows by one
+        # round's insert delta (the partitioned base stays untouched)
+        self._advance_pending(
+            rnd, fetch_log, new_rows, int(fetch_counts["n_taken"] or 0)
+        )
+        self._seen_tail_rounds.append(rnd)
+        self._seen_through = rnd
+
         # 7. frontier commit: the round's deltas (fetch_log status updates +
         # frontier_inserts) ARE the commit — per-round bytes written scale
         # with the round, not the frontier. Every cfg.frontier_compact_every
         # rounds the latest-wins view is compacted into a full snapshot so
         # reconstruction depth stays bounded (and old deltas become
-        # expirable).
+        # expirable) — and the seen-keys BASE is refolded from it (the only
+        # O(frontier) shuffle in the cycle, amortized over k rounds).
         k = max(1, self.cfg.frontier_compact_every)
         if rnd % k == 0:
-            updates = fetch_log.select(
-                "url_canon", F.col("status").alias("new_status")
+            snapshot = store.write_table(
+                self.spark, rnd, "frontier", self.frontier_at(rnd)
             )
-            frontier_next = (
-                frontier.join(F.broadcast(updates), "url_canon", "left")
-                .withColumn("status", F.coalesce("new_status", "status"))
-                .drop("new_status")
-                .unionByName(new_rows)
-            )
-            store.write_table(self.spark, rnd, "frontier", frontier_next)
-            _mark("compact frontier snapshot")
+            self._set_seen_base(snapshot.select("url_canon"))
+            self._seen_tail_rounds = []
+            _mark("compact frontier snapshot + refold seen base")
 
         # counters were observed during the two writes above — no rescans
         counters = {
@@ -930,6 +1013,14 @@ class CrawlEngine:
         _reset(self.store)
         self._bloom = None
         self._bloom_decision = None
+        for cache in (self._pending_cache, self._seen_base):
+            if cache is not None:
+                cache.unpersist()
+        self._pending_cache = None
+        self._pending_round = None
+        self._seen_base = None
+        self._seen_tail_rounds = []
+        self._seen_through = None
 
     def overview(self) -> DataFrame:
         """3.3 analog of GET /api/sites/overview (index.ts:399-425): one row
