@@ -124,16 +124,35 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Minimal RIFF/WAVE (PCM16 mono) → (rate, int16 samples)."""
+    """RIFF/WAVE (PCM16 mono) → (rate, int16 samples).
+
+    The fmt chunk is located by the SAME chunk walk as data — a file with
+    LIST/JUNK/fact chunks ahead of fmt parses correctly (a fixed offset-24
+    read would return garbage there) — and its codec/channel/width fields
+    are validated: anything but PCM16 mono raises instead of silently
+    decoding noise."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    rate = struct.unpack("<I", payload[24:28])[0]
+    rate: int | None = None
     pos = 12
     while pos + 8 <= len(payload):
         cid, clen = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        if cid == b"data":
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_code, channels, rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt_code} ch={channels} bits={bits} "
+                    "(only PCM16 mono)"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
             return rate, np.frombuffer(payload, dtype="<i2", count=clen // 2, offset=pos + 8)
         pos += 8 + clen + (clen & 1)
     raise ValueError("no data chunk")

@@ -132,24 +132,40 @@ class IncrementalBloom:
         return definite_new.unionByName(checked)
 
 
-def _shard_file(dir_: str, shard: int) -> str:
-    return os.path.join(dir_, f"shard_{shard:05d}.bloom")
+def _shard_file(dir_: str, shard: int, gen: int) -> str:
+    """Generation-named shard file: every rewrite lands in a NEW filename,
+    so executor caches can key on the path alone — no mtime trust. (On NFS
+    attribute caching / coarse-mtime filesystems an mtime-keyed cache can
+    serve a rewritten shard stale, which in update() silently drops bits
+    and in split() misroutes seen URLs past the exact backstop.)"""
+    return os.path.join(dir_, f"shard_{shard:05d}.g{gen:06d}.bloom")
 
 
 @lru_cache(maxsize=8)
-def _load_shard_cached(path: str, mtime_ns: int, size: int) -> np.ndarray:
-    """Executor-local shard-bitmap cache: keyed by (path, mtime, size) so a
-    rewritten shard is re-read, capped so a long-lived python worker never
-    accumulates more than a few shards (each is m/8 bytes)."""
+def _load_shard_cached(path: str) -> np.ndarray:
+    """Executor-local shard-bitmap cache. Safe to key on path alone: a
+    generation file's content never changes after its atomic rename — any
+    content change gets a new generation and hence a new path. Capped so a
+    long-lived python worker never holds more than a few shards."""
     return np.fromfile(path, dtype=np.uint8)
 
 
-def _load_shard(path: str) -> np.ndarray | None:
+def _load_shard_gen(dir_: str, shard: int, gen: int) -> np.ndarray:
+    """Load a touched shard's current generation. A missing file here is
+    NEVER 'empty' — the meta says this shard holds keys — so raise instead
+    of silently classifying seen URLs as definite-new (which would bypass
+    the exact anti-join backstop entirely)."""
+    path = _shard_file(dir_, shard, gen)
     try:
-        st = os.stat(path)
+        if not os.path.exists(path):  # one cheap stat: a cached bitmap must
+            raise FileNotFoundError(path)  # not mask on-disk storage loss
+        return _load_shard_cached(path)
     except FileNotFoundError:
-        return None  # no key was ever routed to this shard → empty bloom
-    return _load_shard_cached(path, st.st_mtime_ns, st.st_size)
+        raise RuntimeError(
+            f"bloom shard {shard} generation {gen} missing at {path}: the "
+            "shard dir lost state (non-shared storage? partial wipe?). "
+            "Re-seed the bloom from the full seen set before continuing."
+        ) from None
 
 
 class ShardedBloom:
@@ -206,10 +222,17 @@ class ShardedBloom:
             self.shards: dict[int, np.ndarray] | None = {
                 s: np.zeros(self.m // 8, dtype=np.uint8) for s in range(self.n_shards)
             }
+            self._gens: dict[int, int] = {}
         else:
-            # file-backed: no driver-resident bitmaps at all
+            # file-backed: no driver-resident bitmaps at all. _meta.json
+            # carries the layout AND the per-shard generation counter: a
+            # shard's current bitmap lives at shard_SSSSS.gGGGGGG.bloom, so
+            # any content change changes the filename (executor caches can
+            # never go stale) and gens doubles as the touched-shard set
+            # (missing file for a recorded generation = storage loss, not
+            # 'never routed' — probes raise instead of leaking duplicates).
             self.shards = None
-            meta = {
+            layout = {
                 "m": self.m,
                 "k": self.k,
                 "n_shards": self.n_shards,
@@ -220,14 +243,32 @@ class ShardedBloom:
             if not fresh and os.path.exists(meta_path):
                 with open(meta_path) as f:
                     existing = json.load(f)
-            if existing != meta:
+            if existing is None or existing.get("layout") != layout:
                 # incompatible layout (or fresh requested): start empty.
                 # Callers must re-seed from the full seen set — a bloom
                 # MISSING keys would leak duplicates past the prefilter.
                 shutil.rmtree(dir, ignore_errors=True)
                 os.makedirs(dir, exist_ok=True)
-                with open(meta_path, "w") as f:
-                    json.dump(meta, f)
+                self._gens = {}
+                self._write_meta()
+            else:
+                self._gens = {int(s): g for s, g in existing["gens"].items()}
+
+    def _write_meta(self) -> None:
+        meta = {
+            "layout": {
+                "m": self.m,
+                "k": self.k,
+                "n_shards": self.n_shards,
+                "route_seed": self.ROUTE_SEED,
+            },
+            "gens": {str(s): g for s, g in sorted(self._gens.items())},
+        }
+        path = os.path.join(self.dir, "_meta.json")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
 
     def _with_route(self, df: DataFrame, col: str) -> DataFrame:
         return _with_hashes(df, col).withColumn(
@@ -247,6 +288,7 @@ class ShardedBloom:
         m, k = self.m, self.k
         if self.dir is not None:
             dir_ = self.dir
+            gens = dict(self._gens)  # driver snapshot shipped in the closure
             schema = StructType([StructField("shard", IntegerType())])
 
             def build_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -266,23 +308,38 @@ class ShardedBloom:
                             (1 << (pos & np.uint64(7))).astype(np.uint8),
                         )
                 for s, bits in acc.items():
-                    path = _shard_file(dir_, s)
-                    prev = _load_shard(path)
-                    if prev is not None:
-                        bits = bits | prev
+                    g = gens.get(s, 0)
+                    if g > 0:
+                        bits = bits | _load_shard_gen(dir_, s, g)
+                    # write generation g+1 under a NEW name: retries are
+                    # idempotent (same inputs → same OR result, same path)
+                    # and no reader of generation g can ever see a torn or
+                    # half-merged bitmap
+                    path = _shard_file(dir_, s, g + 1)
                     tmp = f"{path}.tmp.{os.getpid()}"
                     bits.tofile(tmp)
-                    os.replace(tmp, path)  # atomic; retries idempotent (OR)
+                    os.replace(tmp, path)
                 if acc:
                     yield pd.DataFrame({"shard": list(acc)})
 
-            (
-                self._with_route(df.select(col), col)
+            touched = [
+                r.shard
+                for r in self._with_route(df.select(col), col)
                 .select("_shard", "_h1", "_h2")
                 .repartition(self.n_shards, "_shard")
                 .mapInPandas(build_merge, schema)
                 .collect()  # tiny: one int row per touched shard
-            )
+            ]
+            old = {s: self._gens.get(s, 0) for s in touched}
+            for s in touched:
+                self._gens[s] = old[s] + 1
+            self._write_meta()  # commit the new generations atomically
+            for s, g in old.items():  # retire superseded generation files
+                if g > 0:
+                    try:
+                        os.remove(_shard_file(dir_, s, g))
+                    except FileNotFoundError:
+                        pass
             return
 
         schema = StructType(
@@ -321,13 +378,15 @@ class ShardedBloom:
     ) -> tuple[DataFrame, DataFrame]:
         """→ (definite_new, needs_check): probes routed by shard id so each
         Arrow batch touches one shard's bitmap. File-backed shards are read
-        executor-locally (cached by mtime); in-memory shards travel in one
-        broadcast dict."""
+        executor-locally (cached by generation-unique path — immutable
+        content, no mtime trust); in-memory shards travel in one broadcast
+        dict."""
         spark = candidates.sparkSession
         m, k = self.m, self.k
 
         if self.dir is not None:
             dir_ = self.dir
+            gens = dict(self._gens)  # driver snapshot shipped in the closure
 
             @F.pandas_udf(BooleanType())
             def maybe_seen(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
@@ -335,9 +394,12 @@ class ShardedBloom:
                 h1v, h2v = h1.to_numpy(), h2.to_numpy()
                 for s in pd.unique(shard):
                     sel = (shard == s).to_numpy()
-                    bits = _load_shard(_shard_file(dir_, int(s)))
-                    if bits is None:
-                        continue  # empty shard → all definite-new
+                    g = gens.get(int(s), 0)
+                    if g == 0:
+                        continue  # never touched per meta → all definite-new
+                    # recorded-but-missing raises inside (storage loss must
+                    # not silently become definite_new)
+                    bits = _load_shard_gen(dir_, int(s), g)
                     pos = _positions(h1v[sel], h2v[sel], k, m)
                     hit = (
                         bits[pos >> np.uint64(3)]

@@ -640,7 +640,7 @@ class CrawlEngine:
         cands: DataFrame,
         seen_base: DataFrame,
         seen_tail: DataFrame | None,
-    ) -> tuple[bool, dict | None]:
+    ) -> tuple[bool, dict | None, DataFrame]:
         """Bloom pays for itself once the frontier outgrows what a plain
         shuffle anti-join handles cheaply; below that its extra jobs/round
         are pure overhead (SURVEY §4.3 — the exact anti-join is always the
@@ -670,6 +670,10 @@ class CrawlEngine:
         if d is not None and d["frontier_size"] / 2 <= frontier_size <= d["frontier_size"] * 2:
             return d["use_bloom"], None, cands
         cands_m = cands.persist()
+        cands_m.count()  # materialize BEFORE either timer: otherwise the
+        # first-timed path (exact) also pays the full candidate-pipeline
+        # compute while the second reads from cache — a systematic bias
+        # toward bloom that could flip the recorded crossover the wrong way
         t0 = time.time()
         n_exact = self._anti_seen(cands_m, seen_base, seen_tail).count()
         secs_exact = time.time() - t0
@@ -683,7 +687,11 @@ class CrawlEngine:
             ).count()
         )
         secs_bloom = time.time() - t0
-        assert n_exact == n_bloom  # both paths are exact by construction
+        if n_exact != n_bloom:  # both paths are exact by construction — a
+            # mismatch means the bloom state is corrupt (must survive -O)
+            raise RuntimeError(
+                f"urlseen self-check failed: exact={n_exact} bloom={n_bloom}"
+            )
         d = {
             "frontier_size": frontier_size,
             "secs_exact": round(secs_exact, 3),

@@ -355,6 +355,58 @@ class TestBloom:
         dn3, nc3 = fb3.split(cands)
         assert nc3.count() == 0 and dn3.count() == 2000
 
+    def test_file_backed_generations_and_loss_detection(self, spark, tmp_path):
+        """ADVICE round-3 (urlseen cache staleness + silent shard loss):
+        (a) every update writes each touched shard under a NEW
+        generation-unique filename (executor caches key on path — identical
+        content can never be served stale) and retires the old generation;
+        (b) _meta.json records per-shard generations, so a recorded-but-
+        missing shard file RAISES instead of silently classifying seen URLs
+        as definite_new past the exact backstop."""
+        import os
+        import re
+
+        from sitemap_scan_spark.operators.urlseen import ShardedBloom
+
+        d = str(tmp_path / "bloomgen")
+        fb = ShardedBloom(expected_total=20000, n_shards=4, dir=d)
+        seen1 = spark.range(0, 800).select(
+            F.concat(F.lit("https://gen.test/"), F.col("id")).alias("url_canon")
+        )
+        seen2 = spark.range(800, 1600).select(
+            F.concat(F.lit("https://gen.test/"), F.col("id")).alias("url_canon")
+        )
+        fb.update(seen1)
+        gen_of = lambda f: int(re.search(r"\.g(\d+)\.bloom$", f).group(1))
+        files1 = sorted(f for f in os.listdir(d) if f.endswith(".bloom"))
+        assert files1 and all(gen_of(f) == 1 for f in files1)
+        fb.update(seen2)
+        files2 = sorted(f for f in os.listdir(d) if f.endswith(".bloom"))
+        # (a) superseded generations of re-touched shards are gone — exactly
+        # one file per shard, and its generation matches the meta
+        shard_of = lambda f: int(f.split("_")[1].split(".")[0])
+        assert len({shard_of(f) for f in files2}) == len(files2)
+        assert all(gen_of(f) == fb._gens[shard_of(f)] for f in files2)
+        assert any(gen_of(f) == 2 for f in files2)  # some shard re-touched
+
+        cands = spark.range(1500, 2000).select(
+            F.concat(F.lit("https://gen.test/"), F.col("id")).alias("url_canon")
+        )
+        dn, nc = fb.split(cands)
+        assert {r.url_canon for r in nc.collect()} >= {
+            f"https://gen.test/{i}" for i in range(1500, 1600)
+        }
+
+        # (b) delete one touched shard file → the probe must fail loudly
+        victim = next(f for f in os.listdir(d) if f.endswith(".bloom"))
+        os.remove(os.path.join(d, victim))
+        fb_lost = ShardedBloom(expected_total=20000, n_shards=4, dir=d)
+        import pytest as _pytest
+
+        dn_l, nc_l = fb_lost.split(cands)
+        with _pytest.raises(Exception, match="(?i)bloom shard .* missing"):
+            dn_l.unionByName(nc_l).count()
+
 
 class TestWallClockPoliteness:
     """CRAWL_SPEC Round 3a: a crawl_delay > round_period host is dequeued

@@ -238,6 +238,40 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             decode_ppm(b"JUNK")
 
+    def test_decode_wav_chunk_walk_and_validation(self):
+        """ADVICE round-3: the sample rate must come from the fmt chunk
+        found by the chunk walk (not byte offset 24), so a JUNK chunk ahead
+        of fmt still parses; non-PCM / stereo / non-16-bit input raises."""
+        import struct
+
+        from sitemap_scan_spark.operators.multimodal import decode_wav, encode_wav
+
+        samples = (np.sin(np.arange(1000) / 3.0) * 9000).astype(np.int16)
+        plain = encode_wav(samples, 11025)
+
+        # splice a JUNK chunk between 'WAVE' and 'fmt ' — offset 24 now
+        # lands inside JUNK, but the chunk walk must still find fmt
+        junk = b"JUNK" + struct.pack("<I", 12) + b"\xab" * 12
+        shifted = plain[:12] + junk + plain[12:]
+        shifted = b"RIFF" + struct.pack("<I", len(shifted) - 8) + shifted[8:]
+        rate, got = decode_wav(shifted)
+        assert rate == 11025 and np.array_equal(got, samples)
+
+        def patched_fmt(fmt_code=1, channels=1, bits=16):
+            body = struct.pack(
+                "<HHIIHH", fmt_code, channels, 8000, 8000 * 2, 2, bits
+            )
+            return plain[:20] + body + plain[36:]
+
+        assert decode_wav(patched_fmt())[0] == 8000
+        for bad in (
+            patched_fmt(fmt_code=3),   # IEEE float
+            patched_fmt(channels=2),   # stereo
+            patched_fmt(bits=8),       # PCM8
+        ):
+            with pytest.raises(ValueError, match="unsupported WAV"):
+                decode_wav(bad)
+
     def test_numpy_decode_features_semantics(self):
         """Features reflect the actual content: a dark image scores below a
         bright one; a low-frequency tone concentrates energy in the first
