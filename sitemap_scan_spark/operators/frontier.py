@@ -181,8 +181,41 @@ def host_budget_col(base_budget: int, period: int | None = None) -> Column:
     ).otherwise(F.lit(base_budget)).cast("int")
 
 
+SALT_COL = "_salt"
+
+
+def salt_col(salt_buckets: int) -> Column:
+    """The dequeue's phase-1 salt: ``pmod(xxhash64(url_canon), K)``.
+    Callers that keep a pending cache MATERIALIZE this as ``_salt`` and
+    hash-partition the cache on (host, _salt) — then :func:`phase1_prune`'s
+    window reuses the cached partitioning and never shuffles the cache."""
+    return F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets)).cast("int")
+
+
+def phase1_prune(df: DataFrame, salt_buckets: int) -> DataFrame:
+    """Phase 1 of the two-phase dequeue: keep ≤ ``_budget`` rows per
+    (host, salt) bucket — semantics-preserving pruning (any row outside the
+    per-bucket top-budget cannot be in the per-host top-budget; this holds
+    per SUBSET too, so callers may run phase 1 independently on cache
+    parts — pruning a subset only keeps MORE rows, and phase 2 is exact).
+
+    ``df`` needs ``_budget``; if it carries a materialized ``_salt`` column
+    the window partitions on it — a df hash-partitioned on (host, _salt)
+    (the engine's pending-base cache) is ranked IN PLACE with no Exchange,
+    which is what makes the per-round dequeue O(round): the O(pending)
+    cache never re-shuffles. Otherwise the salt is computed on the fly
+    (one full shuffle — the cold/ad-hoc path)."""
+    salt = F.col(SALT_COL) if SALT_COL in df.columns else salt_col(salt_buckets)
+    w1 = Window.partitionBy("host", salt).orderBy(*order_key())
+    return (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("_budget"))
+        .drop("_r1")
+    )
+
+
 def dequeue(
-    eligible: DataFrame,
+    eligible: DataFrame | list[DataFrame],
     base_budget: int,
     round_size: int,
     salt_buckets: int = 8,
@@ -192,19 +225,26 @@ def dequeue(
 
     ``eligible`` needs (url_canon, host, depth, priority, discovered_round,
     crawl_delay). Returns the same columns + rank, ≤ round_size rows.
-    """
-    budget = host_budget_col(base_budget, period)
-    df = eligible.withColumn("_budget", budget)
 
-    if salt_buckets > 1:
-        w1 = Window.partitionBy(
-            "host", F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets))
-        ).orderBy(*order_key())
-        df = (
-            df.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= F.col("_budget"))
-            .drop("_r1")
-        )
+    A LIST of DataFrames (disjoint parts of the same pending set — the
+    engine's partitioned base + round-sized tail) is accepted: phase 1
+    prunes each part independently (superset invariant above), the parts'
+    survivors union, and phase 2 ranks exactly — output is identical to a
+    single-part dequeue of the union, but a pre-partitioned part is never
+    shuffled."""
+    parts = list(eligible) if isinstance(eligible, (list, tuple)) else [eligible]
+    budget = host_budget_col(base_budget, period)
+    pruned = []
+    for p in parts:
+        d = p.withColumn("_budget", budget)
+        if salt_buckets > 1:
+            d = phase1_prune(d, salt_buckets)
+        if SALT_COL in d.columns:
+            d = d.drop(SALT_COL)
+        pruned.append(d)
+    df = pruned[0]
+    for p in pruned[1:]:
+        df = df.unionByName(p)
 
     w2 = Window.partitionBy("host").orderBy(*order_key())
     survivors = (

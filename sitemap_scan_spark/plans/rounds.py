@@ -80,10 +80,20 @@ class CrawlEngine:
         #  - seen-keys TAIL: the insert deltas since the base (≤
         #    compact_every round-sized parquet reads), anti-joined after
         #    the base (cands ∖ (A∪B) = (cands ∖ A) ∖ B);
-        #  - PENDING cache: the dequeue input, advanced each round by a
-        #    broadcast anti-join of the round's taken keys + union of the
-        #    round's pending inserts — NARROW (no shuffle), O(round).
-        self._pending_cache: DataFrame | None = None
+        #  - PENDING cache, split BASE + TAIL (round 4): the base carries a
+        #    materialized _salt column and is hash-partitioned + persisted
+        #    on (host, _salt) — the dequeue's phase-1 window ranks it IN
+        #    PLACE (zero Exchange; the last per-round O(pending) shuffle is
+        #    gone). Advanced each round by a broadcast anti-join of the
+        #    round's taken keys (narrow — BroadcastHashJoin preserves the
+        #    streamed side's partitioning). The tail holds the pending
+        #    inserts since the last rebase (round-sized); both are rebased
+        #    from the disk snapshot at every compaction, so cache lineage
+        #    never exceeds frontier_compact_every joins (ADVICE round 3:
+        #    unbounded plan growth risked O(R²) analysis + driver stack
+        #    overflow on very long crawls).
+        self._pending_base: DataFrame | None = None
+        self._pending_tail: DataFrame | None = None
         self._pending_round: int | None = None
         self._seen_base: DataFrame | None = None
         self._seen_tail_rounds: list[int] = []
@@ -370,52 +380,112 @@ class CrawlEngine:
             )
         return rows
 
-    def _pending(self, rnd: int) -> DataFrame:
+    def _broadcast_key_cap(self) -> int:
+        """Max key count the per-round broadcast anti-joins may ship.
+
+        Sizing rationale (replaces the old 4M magic number): a broadcast
+        hash relation over string URL keys costs ~120 bytes/key (≤~80-byte
+        canonical URL + UnsafeRow + hash-map slot overhead); budget at most
+        ~3 % of the driver heap for it (the relation exists once on the
+        driver and once per executor while the round's jobs run), floored
+        at 1M keys so small-heap dev sessions still broadcast round-sized
+        sets, capped at 32M where torrent-broadcast latency dominates
+        regardless of heap."""
+        mem = self.spark.conf.get("spark.driver.memory", "1g").lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        mult = units.get(mem[-1], 1)
+        driver_bytes = int(float(mem[:-1] if mem[-1] in units else mem)) * mult
+        return max(1_000_000, min(32_000_000, int(driver_bytes * 0.03 / 120)))
+
+    def _pending_parts(self, rnd: int) -> tuple[DataFrame, DataFrame | None]:
         """The PENDING frontier rows as of round ``rnd`` — the dequeue
-        input. Cached and advanced NARROWLY each round by
-        :meth:`_advance_pending` (broadcast anti of the round's taken keys
-        + union of the round's pending inserts — no shuffle, O(round)).
-        Cold path (process start, post-refresh): one latest-wins
-        reconstruction via :meth:`frontier_at`."""
-        if self._pending_cache is not None and self._pending_round == rnd:
-            return self._pending_cache
-        df = (
-            self.frontier_at(rnd)
-            .filter(F.col("status") == "pending")
+        input — as (BASE, TAIL-or-None).
+
+        BASE carries a materialized ``_salt`` column, hash-partitioned +
+        persisted on (host, _salt): the dequeue's phase-1 window ranks it
+        with ZERO Exchange (plan-asserted in tests), so the per-round cost
+        of the O(pending) cache is one in-memory scan, never a shuffle.
+        TAIL is the pending inserts since the last rebase (≤ compact_every
+        round-sized sets). Both advance narrowly per round via
+        :meth:`_advance_pending`; cold path (process start, post-refresh,
+        compaction) rebuilds from the latest-wins view / disk snapshot —
+        the one O(frontier) shuffle, amortized."""
+        if self._pending_base is not None and self._pending_round == rnd:
+            return self._pending_base, self._pending_tail
+        self._rebase_pending(
+            self.frontier_at(rnd).filter(F.col("status") == "pending"), rnd
+        )
+        return self._pending_base, self._pending_tail
+
+    def _rebase_pending(self, pending: DataFrame, rnd: int) -> None:
+        """(Re)build the partitioned pending base from ``pending`` and clear
+        the tail — called cold and at every compaction, which also truncates
+        the cache lineage (ADVICE round 3: the advance chain must not grow
+        unboundedly)."""
+        from ..operators.frontier import SALT_COL, salt_col
+
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        base = (
+            pending.withColumn(SALT_COL, salt_col(self.cfg.salt_buckets))
+            .repartition(n, "host", SALT_COL)
             .persist()
         )
-        df.count()
-        if self._pending_cache is not None:
-            self._pending_cache.unpersist()
-        self._pending_cache = df
+        base.count()
+        self._drop_pending_caches()
+        self._pending_base = base
+        self._pending_tail = None
         self._pending_round = rnd
-        return df
+
+    def _drop_pending_caches(self) -> None:
+        for c in (self._pending_base, self._pending_tail):
+            if c is not None:
+                c.unpersist()
+        self._pending_base = None
+        self._pending_tail = None
+        self._pending_round = None
 
     def _advance_pending(
         self, rnd: int, taken_keys: DataFrame, new_rows: DataFrame, n_taken: int
     ) -> None:
         """pending(rnd) = pending(rnd-1) ∖ taken(rnd) ∪ new-pending(rnd).
-        Both deltas are round-sized and disk-backed; the anti-join
-        broadcasts the taken keys (narrow — the cached pending set is never
-        shuffled). Falls back to a shuffle anti-join for pathologically
-        large rounds where the broadcast would not fit."""
-        if self._pending_cache is None or self._pending_round != rnd - 1:
-            return  # no valid parent — next _pending() call rebuilds cold
-        keys = taken_keys.select("url_canon")
-        if n_taken <= 4_000_000:
-            keys = F.broadcast(keys)
-        nxt = (
-            self._pending_cache.join(keys, "url_canon", "left_anti")
-            .unionByName(
-                new_rows.filter(F.col("status") == "pending").select(
-                    *self._pending_cache.columns
-                )
-            )
-            .persist()
+
+        Both deltas are round-sized and disk-backed. The base side drops
+        its taken rows via a BROADCAST anti-join — narrow, so the persisted
+        (host, _salt) partitioning survives and the next dequeue's phase-1
+        window still runs Exchange-free. New pending rows go to the TAIL
+        (a union onto the base would destroy its reported partitioning);
+        the tail stays round-sized because compaction folds it back into
+        the base. Rounds too large to broadcast (cap derived from the
+        driver heap, :meth:`_broadcast_key_cap`) invalidate the cache
+        instead — a shuffle anti-join would shuffle the base AND lose its
+        partitioning, strictly worse than the cold rebuild it falls back
+        to."""
+        if self._pending_base is None or self._pending_round != rnd - 1:
+            return  # no valid parent — next _pending_parts() rebuilds cold
+        if n_taken > self._broadcast_key_cap():
+            self._drop_pending_caches()
+            return
+        from ..operators.frontier import SALT_COL, salt_col
+
+        keys = F.broadcast(taken_keys.select("url_canon"))
+        base_nxt = self._pending_base.join(keys, "url_canon", "left_anti").persist()
+        new_pending = new_rows.filter(F.col("status") == "pending").withColumn(
+            SALT_COL, salt_col(self.cfg.salt_buckets)
         )
-        nxt.count()  # materialize BEFORE dropping the parent cache
-        self._pending_cache.unpersist()
-        self._pending_cache = nxt
+        tail_nxt = new_pending.select(*self._pending_base.columns)
+        if self._pending_tail is not None:
+            tail_nxt = (
+                self._pending_tail.join(keys, "url_canon", "left_anti")
+                .unionByName(tail_nxt)
+            )
+        tail_nxt = tail_nxt.persist()
+        base_nxt.count()  # materialize BEFORE dropping the parents
+        tail_nxt.count()
+        self._pending_base.unpersist()
+        if self._pending_tail is not None:
+            self._pending_tail.unpersist()
+        self._pending_base = base_nxt
+        self._pending_tail = tail_nxt
         self._pending_round = rnd
 
     def _seen_parts(self, rnd: int) -> tuple[DataFrame, DataFrame | None]:
@@ -481,36 +551,59 @@ class CrawlEngine:
     def _root_sitemap_hashes(self, roots: list[str]) -> dict[str, dict]:
         """Per root sitemap URL: content hash + semantic hash (F21 — sha256
         of the sorted distinct canonical loc set, fetcher.ts:901-914) of the
-        CURRENT body in pages. One job over the small sitemap subset."""
-        from ..functions.canonicalize import canonicalize_one
-        from ..sources.sitemap import parse_sitemap_one
-        import hashlib
+        CURRENT body in pages. One mapInPandas job over the small sitemap
+        subset; only the (url, hash, hash) TRIPLES reach the driver — never
+        the bodies (root sitemaps run to tens of MB each, so collecting
+        bodies would OOM the driver at ~10^4 discovery roots)."""
+        default_priority = self.cfg.sitemap_default_priority
+
+        def hash_batches(batches):
+            import hashlib
+
+            import pandas as pd
+
+            from ..functions.canonicalize import canonicalize_one
+            from ..sources.sitemap import parse_sitemap_one
+
+            for pdf in batches:
+                chs, shs = [], []
+                for h in pdf["html"]:
+                    body = (
+                        h.decode("utf-8", "replace")
+                        if isinstance(h, (bytes, bytearray))
+                        else (h or "")
+                    )
+                    _kind, entries = parse_sitemap_one(body, default_priority)
+                    locs = sorted(
+                        {
+                            c
+                            for c in (canonicalize_one(u) for u, _ in entries)
+                            if c is not None
+                        }
+                    )
+                    chs.append(hashlib.sha256(body.encode()).hexdigest())
+                    shs.append(hashlib.sha256("\n".join(locs).encode()).hexdigest())
+                yield pd.DataFrame(
+                    {"url_canon": pdf["url_canon"], "content_hash": chs,
+                     "semantic_hash": shs}
+                )
 
         rows = (
             self.pages_canon.filter(F.col("url_canon").isin(roots))
             .select("url_canon", "html")
+            .mapInPandas(
+                hash_batches,
+                "url_canon string, content_hash string, semantic_hash string",
+            )
             .collect()
         )
-        out: dict[str, dict] = {}
-        for r in rows:
-            body = (
-                r.html.decode("utf-8", "replace")
-                if isinstance(r.html, (bytes, bytearray))
-                else (r.html or "")
-            )
-            _kind, entries = parse_sitemap_one(body, self.cfg.sitemap_default_priority)
-            locs = sorted(
-                {
-                    c
-                    for c in (canonicalize_one(u) for u, _ in entries)
-                    if c is not None
-                }
-            )
-            out[r.url_canon] = {
-                "content_hash": hashlib.sha256(body.encode()).hexdigest(),
-                "semantic_hash": hashlib.sha256("\n".join(locs).encode()).hexdigest(),
+        return {
+            r.url_canon: {
+                "content_hash": r.content_hash,
+                "semantic_hash": r.semantic_hash,
             }
-        return out
+            for r in rows
+        }
 
     def refresh_discovery(self) -> dict:
         """T3/T5/S9 analog of the reference's no-rescan logic
@@ -724,7 +817,8 @@ class CrawlEngine:
         # the frontier row), so every pending row is eligible by construction
         # — except hosts sleeping off a crawl_delay > round_period (CRAWL_SPEC
         # Round 3a: wall-clock politeness), gated by the tiny host_state dim
-        eligible = self._pending(rnd - 1)
+        pend_base, pend_tail = self._pending_parts(rnd - 1)
+        eligible_parts = [pend_base] + ([pend_tail] if pend_tail is not None else [])
         period = cfg.round_period()
         wallclock = self._wallclock_politeness_on()
         prev_host_state = self._host_state(rnd - 1) if wallclock else None
@@ -732,7 +826,12 @@ class CrawlEngine:
             sleeping = prev_host_state.filter(
                 F.col("next_eligible_round") > rnd
             ).select("host")
-            eligible = eligible.join(F.broadcast(sleeping), "host", "left_anti")
+            # broadcast anti — narrow, so the base part keeps its
+            # (host, _salt) partitioning into the phase-1 window
+            eligible_parts = [
+                p.join(F.broadcast(sleeping), "host", "left_anti")
+                for p in eligible_parts
+            ]
 
         # 2-3. politeness dequeue (two-phase salted window + TakeOrdered
         # cap). The dequeue's range-buckets stay cached, so ``taken`` is
@@ -742,7 +841,7 @@ class CrawlEngine:
         # columns are round-sized, and manifest-last keeps the commit
         # atomic either way).
         dq = dequeue(
-            eligible, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets, period
+            eligible_parts, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets, period
         )
         taken = dq.select(
             F.lit(rnd).alias("round"),
@@ -886,12 +985,29 @@ class CrawlEngine:
             self._ensure_bloom(seen_base, seen_tail)
             # bloom prefilter + the base/tail exact backstop: the persisted
             # base side never re-shuffles; only the (small) bloom-positive
-            # set and the round-sized tail move
+            # set and the round-sized tail move. The definite-new /
+            # checked-new split rides the insert write as an Observation
+            # (zero extra jobs) so the bloom's measured value — how many
+            # inserts skipped the exact join — is evidence in the crawl's
+            # own lineage, not just an offline bench.
+            from pyspark.sql import Observation as _Obs
+
             definite_new, needs_check = self._bloom.split(cands)
-            fresh = definite_new.unionByName(
-                self._anti_seen(needs_check, seen_base, seen_tail)
+            obs_bloom = _Obs()
+            fresh = (
+                definite_new.withColumn("_definite", F.lit(True))
+                .unionByName(
+                    self._anti_seen(needs_check, seen_base, seen_tail)
+                    .withColumn("_definite", F.lit(False))
+                )
+                .observe(
+                    obs_bloom,
+                    F.sum(F.col("_definite").cast("long")).alias("n_definite"),
+                    F.sum((~F.col("_definite")).cast("long")).alias("n_checked"),
+                )
             )
         else:
+            obs_bloom = None
             fresh = self._anti_seen(cands, seen_base, seen_tail)
         # robots gate AT INSERT — only the (small) fresh set is joined
         # against the rules dim; blocked rows enter the frontier terminally
@@ -920,12 +1036,18 @@ class CrawlEngine:
         # (url_seen is DERIVED from fetch_log + frontier_inserts at read
         # time — see url_seen(); no separate per-round write)
 
-        # advance the O(round) caches: pending loses this round's taken keys
-        # and gains its pending inserts (narrow); the seen tail grows by one
-        # round's insert delta (the partitioned base stays untouched)
-        self._advance_pending(
-            rnd, fetch_log, new_rows, int(fetch_counts["n_taken"] or 0)
-        )
+        # advance the O(round) caches: the pending base loses this round's
+        # taken keys (broadcast anti — its (host, _salt) partitioning
+        # survives), the tail gains the round's pending inserts; the seen
+        # tail grows by one round's insert delta (the partitioned seen base
+        # stays untouched). Skipped on compaction rounds — the rebase from
+        # the fresh snapshot below replaces it (and truncates lineage).
+        k = max(1, self.cfg.frontier_compact_every)
+        compacting = rnd % k == 0
+        if not compacting:
+            self._advance_pending(
+                rnd, fetch_log, new_rows, int(fetch_counts["n_taken"] or 0)
+            )
         self._seen_tail_rounds.append(rnd)
         self._seen_through = rnd
 
@@ -934,16 +1056,20 @@ class CrawlEngine:
         # with the round, not the frontier. Every cfg.frontier_compact_every
         # rounds the latest-wins view is compacted into a full snapshot so
         # reconstruction depth stays bounded (and old deltas become
-        # expirable) — and the seen-keys BASE is refolded from it (the only
-        # O(frontier) shuffle in the cycle, amortized over k rounds).
-        k = max(1, self.cfg.frontier_compact_every)
-        if rnd % k == 0:
+        # expirable) — the seen-keys BASE is refolded from it and the
+        # pending base+tail are rebased from it (the only O(frontier)
+        # shuffles in the cycle, amortized over k rounds; the rebase also
+        # bounds the pending cache's plan lineage at k joins).
+        if compacting:
             snapshot = store.write_table(
                 self.spark, rnd, "frontier", self.frontier_at(rnd)
             )
             self._set_seen_base(snapshot.select("url_canon"))
             self._seen_tail_rounds = []
-            _mark("compact frontier snapshot + refold seen base")
+            self._rebase_pending(
+                snapshot.filter(F.col("status") == "pending"), rnd
+            )
+            _mark("compact frontier snapshot + refold seen base + rebase pending")
 
         # counters were observed during the two writes above — no rescans
         counters = {
@@ -957,6 +1083,13 @@ class CrawlEngine:
             "n_redirect": int(fetch_counts["n_redirect"] or 0),
             "n_new": int(ins_counts["n_new"] or 0),
         }
+        if obs_bloom is not None:
+            bm = obs_bloom.get  # populated by the insert write job
+            nd = int(bm["n_definite"] or 0)
+            nchk = int(bm["n_checked"] or 0)
+            counters["bloom_definite_new"] = nd
+            counters["bloom_checked_new"] = nchk
+            counters["bloom_skip_frac"] = round(nd / max(nd + nchk, 1), 4)
         counters["frontier_size"] = frontier_size + counters["n_new"]
         # pending is tracked arithmetically so run() never rescans the
         # frontier just to decide termination
@@ -1004,9 +1137,14 @@ class CrawlEngine:
         if latest is None:
             return {"round": None, "status": "not_started"}
         m = self.store.read_manifest(latest)
-        pending = (
-            self.frontier_at(latest).filter(F.col("status") == "pending").count()
-        )
+        # every writer records n_pending_after, so an API call costs a
+        # manifest read, not an O(frontier) reconstruction; the scan stays
+        # as the fallback for stores written before the counter existed
+        pending = m["counters"].get("n_pending_after")
+        if pending is None:
+            pending = (
+                self.frontier_at(latest).filter(F.col("status") == "pending").count()
+            )
         return {
             "round": latest,
             "counters": m["counters"],
@@ -1021,11 +1159,9 @@ class CrawlEngine:
         _reset(self.store)
         self._bloom = None
         self._bloom_decision = None
-        for cache in (self._pending_cache, self._seen_base):
-            if cache is not None:
-                cache.unpersist()
-        self._pending_cache = None
-        self._pending_round = None
+        self._drop_pending_caches()
+        if self._seen_base is not None:
+            self._seen_base.unpersist()
         self._seen_base = None
         self._seen_tail_rounds = []
         self._seen_through = None

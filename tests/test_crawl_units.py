@@ -209,6 +209,71 @@ class TestDequeue:
         ranks = sorted(r.rank for r in taken.collect())
         assert ranks == list(range(1, 51))
 
+    def test_parts_dequeue_equals_union_dequeue(self, spark):
+        """Split-input dequeue (partitioned base + tail, the engine's
+        O(round) cache layout) must produce bit-identical output to a
+        single-part dequeue of the union: phase-1 pruning per subset only
+        keeps MORE rows, and phase 2 is exact."""
+        from sitemap_scan_spark.operators.frontier import SALT_COL, salt_col
+
+        f = self._frontier(spark, n_hot=2000, n_cold=30)
+        base_rows = f.filter(~F.col("url_canon").rlike("p00[0-4]"))
+        tail_rows = f.filter(F.col("url_canon").rlike("p00[0-4]"))
+        base = (
+            base_rows.withColumn(SALT_COL, salt_col(8))
+            .repartition(8, "host", SALT_COL)
+            .persist()
+        )
+        base.count()
+        tail = tail_rows.withColumn(SALT_COL, salt_col(8))
+        got = dequeue([base, tail], 25, 500, salt_buckets=8).select("url_canon", "rank")
+        want = dequeue(f, 25, 500, salt_buckets=8).select("url_canon", "rank")
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        base.unpersist()
+
+    def test_phase1_reuses_base_partitioning(self, spark):
+        """THE O(round) phase-2 plan assertion (round-3 VERDICT task 1): on
+        a pending base hash-partitioned on (host, _salt) — including after
+        the per-round broadcast anti-join advance — the phase-1 window must
+        plan ZERO shuffle Exchanges (the O(pending) cache is ranked in
+        place); the same window over an unpartitioned input must plan one.
+        At 10^10 pending rows that Exchange was the last per-round
+        O(pending) shuffle."""
+        from sitemap_scan_spark.operators.frontier import (
+            SALT_COL,
+            host_budget_col,
+            phase1_prune,
+            salt_col,
+        )
+
+        f = self._frontier(spark, n_hot=3000, n_cold=50)
+        base = (
+            f.withColumn(SALT_COL, salt_col(8))
+            .repartition(8, "host", SALT_COL)
+            .persist()
+        )
+        base.count()
+        taken = f.limit(40).select("url_canon")
+        advanced = base.join(F.broadcast(taken), "url_canon", "left_anti")
+        budget = host_budget_col(10)
+
+        def n_shuffles(df):
+            # the cached plan's own build-time exchange prints inside
+            # InMemoryRelation — only exchanges OUTSIDE it run per-round
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.split("InMemoryRelation")[0].count("Exchange hashpartitioning")
+
+        pruned = phase1_prune(advanced.withColumn("_budget", budget), 8)
+        assert n_shuffles(pruned) == 0
+        cold = phase1_prune(
+            f.withColumn("_budget", budget), 8
+        )  # no _salt column, no pre-partitioning → one real shuffle
+        assert n_shuffles(cold) == 1
+        # and the pruning itself is correct on the advanced base
+        got = {r.url_canon for r in pruned.collect()}
+        assert got and got.isdisjoint({r.url_canon for r in taken.collect()})
+        base.unpersist()
+
 
 class TestBloom:
     def test_prefilter_exact(self, spark):

@@ -127,3 +127,58 @@ def test_lastmod_churn_skips_and_new_loc_discovered(spark):
         "https://rf.test/blocked-new.html": new_round,
         "https://rf.test/brand-new.html": new_round + 1,
     }
+
+
+def test_root_hashes_distributed_body_heavy(spark, tmp_path):
+    """_root_sitemap_hashes must hash bodies IN EXECUTORS (round-3 VERDICT
+    task 2): many roots with fat bodies, only (url, hash, hash) triples on
+    the driver. Cross-checked against driver-side recomputation."""
+    import hashlib
+
+    from sitemap_scan_spark.functions.canonicalize import canonicalize_one
+    from sitemap_scan_spark.sources.sitemap import parse_sitemap_one
+
+    n_roots, n_locs = 40, 400  # ~30 KB per body
+    rows, want = [], {}
+    for i in range(n_roots):
+        h = f"bh{i}.test"
+        root = f"https://{h}/sitemap.xml"
+        body = (
+            "<urlset>"
+            + "".join(
+                f"<url><loc>https://{h}/deep/path/page-{j:05d}.html</loc>"
+                f"<lastmod>2026-01-{(j % 28) + 1:02d}</lastmod></url>"
+                for j in range(n_locs)
+            )
+            + "</urlset>"
+        )
+        rows.append((root, body.encode()))
+        _kind, entries = parse_sitemap_one(body, 0.5)
+        locs = sorted(
+            {c for c in (canonicalize_one(u) for u, _ in entries) if c}
+        )
+        want[root] = {
+            "content_hash": hashlib.sha256(body.encode()).hexdigest(),
+            "semantic_hash": hashlib.sha256("\n".join(locs).encode()).hexdigest(),
+        }
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pd.to_datetime(["2026-01-01"] * len(rows))
+            .tz_localize("UTC")
+            .astype("datetime64[us, UTC]"),
+            "html": [r[1] for r in rows],
+            "text": [""] * len(rows),
+            "lang": ["en"] * len(rows),
+        }
+    )
+    corpus = str(tmp_path / "bh")
+    os.makedirs(corpus, exist_ok=True)
+    pdf.to_parquet(os.path.join(corpus, "pages.parquet"), index=False)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    eng = CrawlEngine(spark, pages, CFG, str(tmp_path / "wd"))
+    got = eng._root_sitemap_hashes(sorted(want))
+    assert got == want

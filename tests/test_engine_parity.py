@@ -132,6 +132,18 @@ def test_resume_identical(spark, corpus_dir, oracle):
     assert eng2.store.latest_round() == 3  # partial round invisible
     eng2.run(seeds)
 
+    # bloom rounds must carry the observed definite-new/checked-new split
+    # (round-3 VERDICT task 7) consistent with n_new — evidence of the
+    # bloom's value in the crawl's own lineage, at zero extra jobs
+    saw_bloom_metrics = False
+    for r in eng2.store.committed_rounds():
+        c = eng2.store.read_manifest(r)["counters"]
+        if c.get("urlseen_mode") == "bloom":
+            assert c["bloom_definite_new"] + c["bloom_checked_new"] == c["n_new"]
+            assert 0.0 <= c["bloom_skip_frac"] <= 1.0
+            saw_bloom_metrics = True
+    assert saw_bloom_metrics
+
     got = (
         eng2.crawl_order()
         .toPandas()
