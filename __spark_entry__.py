@@ -676,6 +676,50 @@ def q_json_normalize(spark, sf):
     )
 
 
+def q_frame_features(spark, sf):
+    """Multimodal frame features, ORACLE-CHECKED (round-3 VERDICT task 5):
+    deterministic MJV1 videos (synth_media_numpy) → frame_sample_plan
+    explode → REAL per-frame decode in mapInPandas (extract_frame →
+    _image_features' block-mean grid over actual pixels) → integer block
+    sums (feat · 255 · blockpx — exact in float32, so no float fragility).
+    The synthetic pixel function pixel(x, y) = ((x + y + 7f + i)·9) mod 256
+    is closed-form, so DuckDB recomputes the identical sums from
+    generate_series arithmetic: the decode path is verified value-exact
+    end-to-end, not just shape-checked."""
+    from sitemap_scan_spark.operators.multimodal import (
+        _image_features,
+        extract_frame,
+        frame_sample_plan,
+        synth_media_numpy,
+    )
+
+    frames = frame_sample_plan(synth_media_numpy(spark, n=48), every_ms=1000)
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, idxs, sums = [], [], [], []
+            for mid, ts, payload in zip(
+                pdf["media_id"], pdf["frame_ts_ms"], pdf["payload"]
+            ):
+                f = _image_features(extract_frame(bytes(payload), int(ts)), 16)
+                s = np.rint(f * 255.0 * 16.0).astype(np.int64)  # 4×4 block sums
+                ids.extend([int(mid)] * 16)
+                tss.extend([int(ts)] * 16)
+                idxs.extend(range(16))
+                sums.extend(s.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "feat_idx": idxs,
+                 "block_sum": sums}
+            )
+
+    return frames.mapInPandas(
+        feats, "media_id long, frame_ts_ms int, feat_idx int, block_sum long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_dequeue": q_frontier_dequeue,
@@ -723,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "progressive_diff": q_progressive_diff,
         "json_extract_agg": q_json_extract_agg,
         "json_normalize": q_json_normalize,
+        "frame_features": q_frame_features,
     }
 
 
@@ -1189,5 +1234,26 @@ def oracle_sql() -> dict[str, str]:
                           || ',"[TIMESTAMP]"]},"z":' || event_id || '}')
                      AS synth_hash
             FROM events
+        """,
+        # multimodal frame features: the Spark side REALLY decodes MJV1 →
+        # PPM pixels and block-means them (operators/multimodal.py); the
+        # oracle recomputes the same integer block sums from the synthetic
+        # pixel closed form pixel(x,y) = ((x + y + 7f + i)·9) mod 256 on
+        # 16×16 frames, 4×4 blocks, feat_idx = yblock·4 + xblock
+        # (generate_series bounds are INCLUSIVE in DuckDB)
+        "frame_features": """
+            SELECT v.i AS media_id,
+                   CAST(f.f * 1000 AS INTEGER) AS frame_ts_ms,
+                   CAST(g.yb * 4 + g.xb AS INTEGER) AS feat_idx,
+                   CAST(SUM(((g.xb * 4 + c.dx + g.yb * 4 + c.dy
+                              + f.f * 7 + v.i) * 9) % 256) AS BIGINT)
+                     AS block_sum
+            FROM (SELECT i FROM generate_series(0, 47) t(i) WHERE i % 3 = 2) v,
+                 generate_series(0, 2) f(f),
+                 (SELECT yb, xb
+                  FROM generate_series(0, 3) a(yb), generate_series(0, 3) b(xb)) g,
+                 (SELECT dy, dx
+                  FROM generate_series(0, 3) cc(dy), generate_series(0, 3) d(dx)) c
+            GROUP BY v.i, f.f, g.yb, g.xb
         """,
     }
