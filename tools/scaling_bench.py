@@ -68,6 +68,11 @@ def run_crawl(cores: int, rounds: int, tag: str, trials: int) -> dict:
         round_size=int(os.environ.get("SSC_SCALE_ROUND_SIZE", "200000")),
         max_depth=6,
         max_rounds=rounds,
+        # SSC_SCALE_COMPACT_EVERY < rounds puts full frontier compactions
+        # (snapshot rewrite + seen-base refold + pending rebase — the
+        # amortized O(frontier) cost) INSIDE the timed window, so the
+        # efficiency number covers the whole cycle, not just delta rounds
+        frontier_compact_every=int(os.environ.get("SSC_SCALE_COMPACT_EVERY", "8")),
     )
     pages = spark.read.parquet(os.path.join(CORPUS, "pages.parquet"))
     # seed EVERY host → round 1 is a full-width dequeue (steady state)
@@ -113,7 +118,9 @@ def run_crawl(cores: int, rounds: int, tag: str, trials: int) -> dict:
 
 
 def main() -> None:
-    rounds = 2 if "--quick" in sys.argv else 3
+    rounds = int(
+        os.environ.get("SSC_SCALE_ROUNDS", "2" if "--quick" in sys.argv else "3")
+    )
     trials = 3
     n, n4 = 4, 16
     for i, a in enumerate(sys.argv):
