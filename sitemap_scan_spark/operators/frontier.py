@@ -192,7 +192,9 @@ def salt_col(salt_buckets: int) -> Column:
     return F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets)).cast("int")
 
 
-def phase1_prune(df: DataFrame, salt_buckets: int) -> DataFrame:
+def phase1_prune(
+    df: DataFrame, salt_buckets: int, base_budget: int | None = None
+) -> DataFrame:
     """Phase 1 of the two-phase dequeue: keep ≤ ``_budget`` rows per
     (host, salt) bucket — semantics-preserving pruning (any row outside the
     per-bucket top-budget cannot be in the per-host top-budget; this holds
@@ -204,12 +206,24 @@ def phase1_prune(df: DataFrame, salt_buckets: int) -> DataFrame:
     (the engine's pending-base cache) is ranked IN PLACE with no Exchange,
     which is what makes the per-round dequeue O(round): the O(pending)
     cache never re-shuffles. Otherwise the salt is computed on the fly
-    (one full shuffle — the cold/ad-hoc path)."""
+    (one full shuffle — the cold/ad-hoc path).
+
+    ``base_budget`` (the literal cap that ``_budget`` never exceeds — see
+    :func:`host_budget_col`) is added as a redundant conjunct on the rank
+    filter: Catalyst's InferWindowGroupLimit only fires on LITERAL bounds,
+    and with it the planner inserts a map-side partial top-k
+    (WindowGroupLimit Partial) BEFORE the window's exchange/sort — the
+    cold/tail shuffle moves ≤ base_budget rows per (host, salt) group per
+    map partition instead of everything, and even the exchange-free
+    partitioned-base path replaces its full per-group sort with a top-k."""
     salt = F.col(SALT_COL) if SALT_COL in df.columns else salt_col(salt_buckets)
     w1 = Window.partitionBy("host", salt).orderBy(*order_key())
+    rank_ok: Column = F.col("_r1") <= F.col("_budget")
+    if base_budget is not None:
+        rank_ok = (F.col("_r1") <= F.lit(base_budget)) & rank_ok
     return (
         df.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("_budget"))
+        .filter(rank_ok)
         .drop("_r1")
     )
 
@@ -238,7 +252,7 @@ def dequeue(
     for p in parts:
         d = p.withColumn("_budget", budget)
         if salt_buckets > 1:
-            d = phase1_prune(d, salt_buckets)
+            d = phase1_prune(d, salt_buckets, base_budget)
         if SALT_COL in d.columns:
             d = d.drop(SALT_COL)
         pruned.append(d)
@@ -246,10 +260,13 @@ def dequeue(
     for p in pruned[1:]:
         df = df.unionByName(p)
 
+    # the literal base_budget conjunct (always implied by _budget ≤ base)
+    # lets InferWindowGroupLimit plan a map-side partial top-k before the
+    # per-host shuffle — see phase1_prune
     w2 = Window.partitionBy("host").orderBy(*order_key())
     survivors = (
         df.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= F.col("_budget"))
+        .filter((F.col("_r2") <= F.lit(base_budget)) & (F.col("_r2") <= F.col("_budget")))
         .drop("_r2", "_budget")
     )
 

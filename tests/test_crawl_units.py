@@ -263,12 +263,17 @@ class TestDequeue:
             plan = df._jdf.queryExecution().executedPlan().toString()
             return plan.split("InMemoryRelation")[0].count("Exchange hashpartitioning")
 
-        pruned = phase1_prune(advanced.withColumn("_budget", budget), 8)
+        pruned = phase1_prune(advanced.withColumn("_budget", budget), 8, 10)
         assert n_shuffles(pruned) == 0
         cold = phase1_prune(
-            f.withColumn("_budget", budget), 8
+            f.withColumn("_budget", budget), 8, 10
         )  # no _salt column, no pre-partitioning → one real shuffle
         assert n_shuffles(cold) == 1
+        # the literal-budget conjunct must engage map-side top-k pruning
+        # (InferWindowGroupLimit) so the cold shuffle moves ≤ budget rows
+        # per (host, salt) group per map partition
+        cold_plan = cold._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in cold_plan and "Partial" in cold_plan
         # and the pruning itself is correct on the advanced base
         got = {r.url_canon for r in pruned.collect()}
         assert got and got.isdisjoint({r.url_canon for r in taken.collect()})
