@@ -637,3 +637,50 @@ class TestCanonicalizeUdfNulls:
         ).select(canonicalize_udf("u").alias("c"))
         vals = [r.c for r in df.collect()]
         assert sorted(v for v in vals if v) == ["https://ok.test/a"]
+
+
+class TestPendingCacheLineage:
+    def test_pending_lineage_bounded_by_compaction(self, spark, tmp_path):
+        """ADVICE round-3 (unbounded pending-cache lineage): the advance
+        chain must REBASE at every compaction — the base's logical plan
+        holds at most ~compact_every anti-joins, and the join count must
+        RESET after a compaction round instead of growing monotonically
+        (previously O(rounds): O(R²) Catalyst analysis over a crawl and an
+        eventual driver StackOverflowError)."""
+        from sim.genpages import generate
+        from sitemap_scan_spark.config import CrawlConfig
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "corpus")
+        generate(corpus, n_hosts=10, mean_pages=30, n_seeds=3, seed=11)
+        pages = spark.read.parquet(f"{corpus}/pages.parquet")
+        seeds = spark.read.parquet(f"{corpus}/seeds.parquet")
+        cfg = CrawlConfig(
+            base_host_budget=4, round_size=60, max_rounds=8,
+            frontier_compact_every=3,
+        )
+        eng = CrawlEngine(spark, pages, cfg, str(tmp_path / "wd"))
+        eng.init_frontier(seeds)
+
+        def joins_in_base():
+            plan = eng._pending_base._jdf.queryExecution().optimizedPlan().toString()
+            return plan.count("Join")
+
+        depths = {}
+        for rnd in range(1, 9):
+            if eng.run(seeds, max_rounds=rnd) == []:
+                break
+            depths[rnd] = joins_in_base()
+        assert depths, "crawl never ran"
+        k = cfg.frontier_compact_every
+        # the invariant: plan complexity is a function of the POSITION in
+        # the compaction cycle only — round 4 must look like round 1, round
+        # 5 like round 2, … (the old design grew monotonically with rnd)
+        by_pos: dict[int, set[int]] = {}
+        for rnd, d in depths.items():
+            by_pos.setdefault(rnd % k, set()).add(d)
+        for pos, ds in by_pos.items():
+            assert len(ds) == 1, (pos, depths)
+        compacted = by_pos.get(0)
+        if compacted and len(by_pos) > 1:
+            assert min(compacted) <= min(min(v) for p, v in by_pos.items() if p != 0), depths
