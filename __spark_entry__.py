@@ -577,6 +577,19 @@ def q_embedding_ann_topk(spark, sf):
     return ann_topk(emb, q, k=10, n_planes=8, probe_hamming=2)
 
 
+def q_embedding_ivf_topk(spark, sf):
+    """IVF ANN top-k, FULLY oracle-checked (unlike the rows-only LSH
+    variant): deterministic hash-ordered pivots → JVM argmax list
+    assignment → nprobe nearest lists → exact cosine top-k. Every step is
+    double-precision sequential-fold arithmetic that DuckDB reproduces
+    bit-exactly, so the oracle checks values, not just shape."""
+    from sitemap_scan_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    return ivf_topk(emb, q, k=10, n_lists=16, nprobe=4)
+
+
 def q_simhash_groups(spark, sf):
     """SimHash identical-hash dup groups (dedup rollup over q:simhash)."""
     from sitemap_scan_spark.operators.dedup import simhash64
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "change_magnitude": q_change_magnitude,
         "embedding_ann_topk": q_embedding_ann_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "simhash_groups": q_simhash_groups,
         "simhash_near": q_simhash_near,
         "rendered_diff": q_rendered_diff,
@@ -1241,6 +1255,43 @@ def oracle_sql() -> dict[str, str]:
         # pixel closed form pixel(x,y) = ((x + y + 7f + i)·9) mod 256 on
         # 16×16 frames, 4×4 blocks, feat_idx = yblock·4 + xblock
         # (generate_series bounds are INCLUSIVE in DuckDB)
+        # IVF ANN: pivots = 16 rows minimizing md5(str(vec_id)) (list_id =
+        # rank in that order), assignment = argmax cosine over pivots (min
+        # list_id on exact ties — matches array_position-of-max), probes =
+        # 4 nearest lists to the query, then exact cosine top-10. All
+        # double sequential folds — bit-identical to the JVM side.
+        "embedding_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            piv AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS list_id, v
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            qv AS (SELECT v AS q, greatest(sqrt(list_dot_product(v, v)), 1e-12) AS qn
+                   FROM e WHERE vec_id = 0),
+            probes AS (
+              SELECT p.list_id
+              FROM piv p, qv
+              ORDER BY list_dot_product(p.v, qv.q)
+                       / (greatest(sqrt(list_dot_product(p.v, p.v)), 1e-12) * qv.qn)
+                       DESC, p.list_id
+              LIMIT 4),
+            assign AS (
+              SELECT e.vec_id, e.v,
+                     (SELECT p.list_id FROM piv p
+                      ORDER BY list_dot_product(e.v, p.v)
+                               / (greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)
+                                  * greatest(sqrt(list_dot_product(p.v, p.v)), 1e-12))
+                               DESC, p.list_id ASC
+                      LIMIT 1) AS list_id
+              FROM e)
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, qv.q)
+                         / (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12) * qv.qn),
+                         6) AS cos
+            FROM assign a, qv
+            WHERE a.list_id IN (SELECT list_id FROM probes)
+            ORDER BY cos DESC, a.vec_id LIMIT 10
+        """,
         "frame_features": """
             SELECT v.i AS media_id,
                    CAST(f.f * 1000 AS INTEGER) AS frame_ts_ms,

@@ -119,6 +119,94 @@ def ann_topk(
     return cosine_topk(cands, query, k, vec_col, id_col)
 
 
+def ivf_pivots(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: ``n_lists`` pivot vectors chosen
+    by hash order (the rows minimizing ``md5(str(id))``, ties on id) — a
+    seeded random sample that any SQL engine reproduces exactly, unlike
+    Lloyd iterations whose float reductions are engine-specific. Random
+    pivots are a legitimate coarse quantizer (quality below k-means but
+    unbiased); swap refined centroids in via :func:`ivf_assign`'s
+    ``pivots`` argument without touching the plumbing. Returns
+    [(list_id, vector)] with list_id = rank in hash order. Driver-side
+    but tiny: n_lists × dim floats."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    df: DataFrame,
+    pivots: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``list_id: int`` — the index of the nearest pivot by cosine
+    (first index on exact ties). Pure JVM expressions: one literal-vector
+    cosine per pivot, argmax via array_position(array_max) — no Python in
+    the plan. At corpus scale this is the WRITE-ONCE pass: persist the
+    output partitioned by list_id and every probe prunes to
+    nprobe/n_lists of the files (partition pruning, plan-asserted in
+    tests)."""
+    cos_arr = F.array(*[cosine_col(F.col(vec_col), p) for _, p in pivots])
+    return df.withColumn(
+        "list_id",
+        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int"),
+    )
+
+
+def _seq_cosine(a: Sequence[float], b: Sequence[float]) -> float:
+    """Sequential-fold cosine in plain python — bit-matches the JVM
+    ``F.aggregate`` fold and DuckDB's list_dot_product (numpy's pairwise/
+    BLAS summation rounds differently and could flip near-tie argmax)."""
+    dot = nrm_a = nrm_b = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+        nrm_a += float(x) * float(x)
+        nrm_b += float(y) * float(y)
+    import math
+
+    return dot / (max(math.sqrt(nrm_a), 1e-12) * max(math.sqrt(nrm_b), 1e-12))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
+    pivots: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: rank the pivots by cosine to the query
+    (driver-side, n_lists tiny), probe the ``nprobe`` nearest inverted
+    lists, exact cosine on those candidates only.
+
+    Pass ``assigned`` (a DF already carrying ``list_id`` from
+    :func:`ivf_assign`, persisted/partitioned on it) to make probe cost
+    independent of corpus size — the IVF analog of the precomputed-bucket
+    path in :func:`ann_topk`."""
+    if pivots is None:
+        pivots = ivf_pivots(df, n_lists, id_col, vec_col)
+    ranked = sorted(
+        ((_seq_cosine(v, query), -lid) for lid, v in pivots), reverse=True
+    )
+    probes = [-neg for _, neg in ranked[:nprobe]]
+    if assigned is None:
+        assigned = ivf_assign(df, pivots, vec_col)
+    cands = assigned.filter(F.col("list_id").isin([int(p) for p in probes]))
+    return cosine_topk(cands, query, k, vec_col, id_col)
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -104,6 +104,49 @@ class TestSimilarity:
         b = ann_topk(emb, q, k=5, n_planes=6, probe_hamming=2, bucketed=pre).collect()
         assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
 
+    def test_ivf_topk_recall_and_partition_pruning(self, spark, sf_dir, tmp_path):
+        """IVF ANN (the second scale path next to hyperplane LSH): (a) the
+        query's own vector is found and recall vs brute force is sane;
+        (b) a precomputed assignment gives the identical result; (c) the
+        REAL scale claim — written partitioned by list_id, a probe's scan
+        plans partition filters so only nprobe/n_lists of the files are
+        read."""
+        from sitemap_scan_spark.operators.similarity import (
+            cosine_topk,
+            ivf_assign,
+            ivf_pivots,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter("vec_id = 3").select("embedding").first().embedding
+        brute = {r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
+        approx = ivf_topk(emb, q, k=5, n_lists=8, nprobe=3).collect()
+        ids = {r.vec_id for r in approx}
+        assert 3 in ids
+        assert len(brute & ids) >= 2
+        cosines = [r.cos for r in approx]
+        assert cosines == sorted(cosines, reverse=True)
+
+        pivots = ivf_pivots(emb, n_lists=8)
+        assigned = ivf_assign(emb, pivots)
+        # every vector lands in exactly one of the 8 lists
+        n_lists_seen = assigned.select("list_id").distinct().count()
+        assert 1 <= n_lists_seen <= 8
+        assert assigned.filter("list_id IS NULL OR list_id < 0 OR list_id >= 8").count() == 0
+
+        path = str(tmp_path / "ivf")
+        assigned.write.partitionBy("list_id").parquet(path)
+        pre = spark.read.parquet(path)
+        b = ivf_topk(emb, q, k=5, n_lists=8, nprobe=3, assigned=pre, pivots=pivots)
+        assert [(r.vec_id, r.cos) for r in approx] == [
+            (r.vec_id, r.cos) for r in b.collect()
+        ]
+        plan = b._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "list_id" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+
     def test_simhash_near_pairs_complete_vs_brute(self, spark, sf_dir):
         """Block banding must find EXACTLY the brute-force hamming≤d set
         (pigeonhole completeness), never a subset."""
