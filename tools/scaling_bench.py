@@ -97,6 +97,11 @@ def run_crawl(cores: int, rounds: int, tag: str, trials: int) -> dict:
             p = os.path.join(workdir, f)
             if os.path.exists(p):
                 os.remove(p)
+        # drop the previous trial's persisted caches (pending base/tail,
+        # seen base): CacheManager entries are not GC'd with the engine
+        # object, and letting them accumulate makes later trials pay
+        # eviction churn the first trial didn't
+        spark.catalog.clearCache()
         eng = CrawlEngine(spark, pages, cfg, workdir)
         eng.init_frontier(seeds)  # discovery outside the timed window
         t0 = time.time()
