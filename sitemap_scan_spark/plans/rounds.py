@@ -421,9 +421,16 @@ class CrawlEngine:
         """(Re)build the partitioned pending base from ``pending`` and clear
         the tail — called cold and at every compaction, which also truncates
         the cache lineage (ADVICE round 3: the advance chain must not grow
-        unboundedly)."""
+        unboundedly).
+
+        ``pending`` must derive from DISK (the snapshot / latest-wins
+        reconstruction), never from the caches being replaced: the old
+        caches are dropped BEFORE the new base materializes, so the
+        frontier is never memory-resident twice (the transient doubling
+        OOMed a 16-thread local JVM at 6.4M pending rows on an 8g heap)."""
         from ..operators.frontier import SALT_COL, salt_col
 
+        self._drop_pending_caches()
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         base = (
             pending.withColumn(SALT_COL, salt_col(self.cfg.salt_buckets))
@@ -431,7 +438,6 @@ class CrawlEngine:
             .persist()
         )
         base.count()
-        self._drop_pending_caches()
         self._pending_base = base
         self._pending_tail = None
         self._pending_round = rnd
@@ -511,11 +517,16 @@ class CrawlEngine:
         return self._seen_base, tail
 
     def _set_seen_base(self, keys: DataFrame) -> None:
+        """``keys`` always derives from disk (snapshot / latest-wins view),
+        so the old base is dropped FIRST — the seen set is never cached
+        twice (see :meth:`_rebase_pending` on why the transient doubling
+        matters)."""
+        if self._seen_base is not None:
+            self._seen_base.unpersist()
+            self._seen_base = None
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         df = keys.repartition(n, "url_canon").persist()
         df.count()
-        if self._seen_base is not None:
-            self._seen_base.unpersist()
         self._seen_base = df
 
     def _anti_seen(self, df: DataFrame, seen_base: DataFrame, seen_tail: DataFrame | None) -> DataFrame:
