@@ -140,7 +140,9 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid, clen = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
-            if clen < 16:
+            if clen < 16 or len(payload) < pos + 24:
+                # clen may CLAIM 16+ bytes the payload doesn't contain —
+                # validate the actual buffer, not the header's promise
                 raise ValueError("truncated fmt chunk")
             fmt_code, channels, rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]

@@ -252,6 +252,20 @@ class ShardedBloom:
                 self._gens = {}
                 self._write_meta()
             else:
+                if os.path.exists(os.path.join(dir, "_update.intent")):
+                    # an update() crashed after executors wrote g+1 shard
+                    # files but before the meta commit: meta still says g,
+                    # so that update's keys are silently absent from every
+                    # probe. Serving would leak duplicates past the
+                    # prefilter — refuse; the caller must re-seed
+                    # (fresh=True) or re-run the exact same update from the
+                    # surviving process (idempotent: same inputs OR into
+                    # the same g+1 paths).
+                    raise RuntimeError(
+                        f"ShardedBloom dir {dir!r} has an uncommitted update "
+                        "(_update.intent present): its keys are missing from "
+                        "the committed generation — re-seed with fresh=True"
+                    )
                 self._gens = {int(s): g for s, g in existing["gens"].items()}
 
     def _write_meta(self) -> None:
@@ -322,6 +336,16 @@ class ShardedBloom:
                 if acc:
                     yield pd.DataFrame({"shard": list(acc)})
 
+            # journal the update BEFORE the Spark job: if the driver dies
+            # between the executors' g+1 shard writes and the meta commit,
+            # a later process attaching to this dir sees the intent marker
+            # and refuses to serve a bloom that is silently missing keys
+            # (__init__ raises). Removed only after the atomic meta commit.
+            intent = os.path.join(dir_, "_update.intent")
+            tmp = f"{intent}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"pid": os.getpid(), "gens_before": dict(self._gens)}, f)
+            os.replace(tmp, intent)
             touched = [
                 r.shard
                 for r in self._with_route(df.select(col), col)
@@ -334,6 +358,7 @@ class ShardedBloom:
             for s in touched:
                 self._gens[s] = old[s] + 1
             self._write_meta()  # commit the new generations atomically
+            os.remove(intent)  # journal closed: update fully committed
             for s, g in old.items():  # retire superseded generation files
                 if g > 0:
                     try:

@@ -27,6 +27,7 @@ Scale notes (10^10 frontier, 100 TB pages):
 from __future__ import annotations
 
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -391,10 +392,15 @@ class CrawlEngine:
         at 1M keys so small-heap dev sessions still broadcast round-sized
         sets, capped at 32M where torrent-broadcast latency dominates
         regardless of heap."""
-        mem = self.spark.conf.get("spark.driver.memory", "1g").lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-        mult = units.get(mem[-1], 1)
-        driver_bytes = int(float(mem[:-1] if mem[-1] in units else mem)) * mult
+        mem = (self.spark.conf.get("spark.driver.memory", "1g") or "1g").strip().lower()
+        units = {"": 1 << 20, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        m = re.match(r"^([\d.]+)\s*([kmgt]?)b?$", mem)
+        try:
+            # Spark accepts '8g', '8gb', '512m', '512mb', and bare numbers
+            # (bare = MiB, matching JVM -Xmx semantics Spark documents).
+            driver_bytes = int(float(m.group(1)) * units[m.group(2)]) if m else 1 << 30
+        except (ValueError, OverflowError):
+            driver_bytes = 1 << 30
         return max(1_000_000, min(32_000_000, int(driver_bytes * 0.03 / 120)))
 
     def _pending_parts(self, rnd: int) -> tuple[DataFrame, DataFrame | None]:
@@ -774,28 +780,35 @@ class CrawlEngine:
         if d is not None and d["frontier_size"] / 2 <= frontier_size <= d["frontier_size"] * 2:
             return d["use_bloom"], None, cands
         cands_m = cands.persist()
-        cands_m.count()  # materialize BEFORE either timer: otherwise the
-        # first-timed path (exact) also pays the full candidate-pipeline
-        # compute while the second reads from cache — a systematic bias
-        # toward bloom that could flip the recorded crossover the wrong way
-        t0 = time.time()
-        n_exact = self._anti_seen(cands_m, seen_base, seen_tail).count()
-        secs_exact = time.time() - t0
-        # seeding amortizes across rounds — untimed
-        self._ensure_bloom(seen_base, seen_tail)
-        t0 = time.time()
-        definite_new, needs_check = self._bloom.split(cands_m)
-        n_bloom = (
-            definite_new.unionByName(
-                self._anti_seen(needs_check, seen_base, seen_tail)
-            ).count()
-        )
-        secs_bloom = time.time() - t0
-        if n_exact != n_bloom:  # both paths are exact by construction — a
-            # mismatch means the bloom state is corrupt (must survive -O)
-            raise RuntimeError(
-                f"urlseen self-check failed: exact={n_exact} bloom={n_bloom}"
+        try:
+            cands_m.count()  # materialize BEFORE either timer: otherwise the
+            # first-timed path (exact) also pays the full candidate-pipeline
+            # compute while the second reads from cache — a systematic bias
+            # toward bloom that could flip the recorded crossover the wrong way
+            t0 = time.time()
+            n_exact = self._anti_seen(cands_m, seen_base, seen_tail).count()
+            secs_exact = time.time() - t0
+            # seeding amortizes across rounds — untimed
+            self._ensure_bloom(seen_base, seen_tail)
+            t0 = time.time()
+            definite_new, needs_check = self._bloom.split(cands_m)
+            n_bloom = (
+                definite_new.unionByName(
+                    self._anti_seen(needs_check, seen_base, seen_tail)
+                ).count()
             )
+            secs_bloom = time.time() - t0
+            if n_exact != n_bloom:  # both paths are exact by construction — a
+                # mismatch means the bloom state is corrupt (must survive -O)
+                raise RuntimeError(
+                    f"urlseen self-check failed: exact={n_exact} bloom={n_bloom}"
+                )
+        except BaseException:
+            # the caller only unpersists the handle it receives after the
+            # insert delta lands — on a failed measurement nobody would, so
+            # release the cached candidate set before propagating
+            cands_m.unpersist()
+            raise
         d = {
             "frontier_size": frontier_size,
             "secs_exact": round(secs_exact, 3),

@@ -477,6 +477,73 @@ class TestBloom:
         with _pytest.raises(Exception, match="(?i)bloom shard .* missing"):
             dn_l.unionByName(nc_l).count()
 
+    def test_file_backed_uncommitted_update_refused(self, spark, tmp_path):
+        """ADVICE round-4: a driver crash between the executors' g+1 shard
+        writes and the meta commit leaves _update.intent in the dir; a NEW
+        process attaching non-fresh must refuse to serve (its probes would
+        silently miss that update's keys), while a completed update leaves
+        no journal behind and re-attach works."""
+        import os
+
+        import pytest as _pytest
+
+        from sitemap_scan_spark.operators.urlseen import ShardedBloom
+
+        d = str(tmp_path / "bloomintent")
+        fb = ShardedBloom(expected_total=20000, n_shards=4, dir=d)
+        seen = spark.range(0, 500).select(
+            F.concat(F.lit("https://intent.test/"), F.col("id")).alias("url_canon")
+        )
+        fb.update(seen)
+        assert not os.path.exists(os.path.join(d, "_update.intent"))
+        ShardedBloom(expected_total=20000, n_shards=4, dir=d)  # clean attach OK
+
+        # simulate the crash window: journal open, meta never committed
+        with open(os.path.join(d, "_update.intent"), "w") as f:
+            f.write("{}")
+        with _pytest.raises(RuntimeError, match="uncommitted update"):
+            ShardedBloom(expected_total=20000, n_shards=4, dir=d)
+        # fresh=True re-seeds from scratch and clears the journal
+        fb2 = ShardedBloom(expected_total=20000, n_shards=4, dir=d, fresh=True)
+        assert not os.path.exists(os.path.join(d, "_update.intent"))
+        fb2.update(seen)
+        dn, nc = fb2.split(seen.limit(10))
+        assert dn.count() == 0 and nc.count() == 10
+
+
+class TestBroadcastKeyCap:
+    """ADVICE round-4 (medium): _broadcast_key_cap must accept every memory
+    string Spark itself accepts — two-letter suffixes ('8gb'), bare numbers
+    (MiB per JVM semantics) — and fall back to the 1g default rather than
+    raise mid-round on anything unparseable."""
+
+    def _cap(self, mem):
+        from types import SimpleNamespace
+
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        fake = SimpleNamespace(
+            spark=SimpleNamespace(conf=SimpleNamespace(get=lambda k, d=None: mem))
+        )
+        return CrawlEngine._broadcast_key_cap(fake)
+
+    def test_suffix_forms(self):
+        base = self._cap("8g")
+        assert self._cap("8gb") == base == self._cap("8G") == self._cap("8GB")
+        assert self._cap("512m") == self._cap("512mb")
+
+    def test_bare_number_is_mib(self):
+        assert self._cap("8192") == self._cap("8g")
+
+    def test_garbage_falls_back_to_1g_default(self):
+        onegig = self._cap("1g")
+        for bad in ("watermelon", "", None, "gb8", "1.2.3g"):
+            assert self._cap(bad) == onegig
+
+    def test_floor_and_ceiling(self):
+        assert self._cap("64m") == 1_000_000       # floor
+        assert self._cap("100t") == 32_000_000     # ceiling
+
 
 class TestWallClockPoliteness:
     """CRAWL_SPEC Round 3a: a crawl_delay > round_period host is dequeued

@@ -315,6 +315,13 @@ class TestMultimodal:
             with pytest.raises(ValueError, match="unsupported WAV"):
                 decode_wav(bad)
 
+        # ADVICE round-4: an fmt header CLAIMING 16+ bytes the payload
+        # doesn't actually contain must raise ValueError like every other
+        # malformed-input path, not leak struct.error
+        truncated = plain[:22]  # cut mid-fmt: clen says 16, buffer ends early
+        with pytest.raises(ValueError, match="truncated fmt chunk"):
+            decode_wav(truncated)
+
     def test_numpy_decode_features_semantics(self):
         """Features reflect the actual content: a dark image scores below a
         bright one; a low-frequency tone concentrates energy in the first
