@@ -35,7 +35,9 @@ from sitemap_scan_spark.functions.textstats import (  # noqa: E402
     token_count_ws,
 )
 from sitemap_scan_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
     exact_dedup,
+    minhash_coeffs,
     minhash_signatures,
     simhash64,
 )
@@ -1013,11 +1015,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY fingerprint
         """,
         "minhash": f"""
-            WITH {_SHINGLES_CTE}
+            WITH {_SHINGLES_CTE},
+            hs AS (SELECT doc_id, ('0x' || substr(sh, 1, 7))::BIGINT AS h FROM shingles)
             SELECT doc_id,
-                   min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
-                   min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3
-            FROM shingles GROUP BY doc_id
+                   {", ".join(f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{i}"
+                              for i, (a, b) in enumerate(minhash_coeffs(4)))}
+            FROM hs GROUP BY doc_id
         """,
         "simhash": """
             WITH wh AS (
