@@ -15,7 +15,9 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import RoundStore
@@ -73,14 +75,29 @@ def delete_host(
             df = spark.read.parquet(p)
             if "url_canon" not in df.columns:
                 continue
-            keep = df.filter(host_of != host)
-            n = df.count() - keep.count()
+            # ONE job per table: total rows come from the existing parquet
+            # footers (a metadata read, no scan) and the kept count rides
+            # the rewrite job as an Observation — the old
+            # df.count() - keep.count() pattern scanned the table twice
+            # before writing it a third time.
+            total = sum(
+                pq.read_metadata(os.path.join(p, f)).num_rows
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+            obs = Observation()
+            keep = df.filter(host_of != host).observe(
+                obs, F.count(F.lit(1)).alias("kept")
+            )
+            tmp = p + "__rewrite"
+            keep.write.mode("overwrite").parquet(tmp)
+            n = total - int(obs.get["kept"])
             if n > 0:
-                tmp = p + "__rewrite"
-                keep.write.mode("overwrite").parquet(tmp)
                 shutil.rmtree(p)
                 os.rename(tmp, p)
                 removed[f"round_{rnd:04d}/{name}"] = n
+            else:
+                shutil.rmtree(tmp)  # nothing of this host here — keep as-is
     return removed
 
 

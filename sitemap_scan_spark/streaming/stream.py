@@ -180,8 +180,10 @@ def change_notification_sink(
     (``state_dir``); genuine changes emit one notification row
     (url_canon, round, old_hash, new_hash) appended to ``out_dir`` and —
     optionally — handed to ``deliver(dict)`` one by one (the webhook
-    transport hook; notifications per tick are round-sized, never
-    data-sized, so the driver-side delivery loop is safe).
+    transport hook). Delivery runs EXECUTOR-side via foreachPartition —
+    the changed set is never materialized on the driver, so a change wave
+    (site-wide redesign) scales out instead of OOMing the driver; pass a
+    picklable callable.
 
     First sight of a URL records state but does NOT notify (the reference
     alerts on CHANGE, not discovery). The state table is a url→hash dim
@@ -222,8 +224,16 @@ def change_notification_sink(
             ).select("url_canon", "round", "old_hash", "new_hash")
             changes.write.mode("append").parquet(out_dir)
             if deliver is not None:
-                for r in changes.collect():
-                    deliver(r.asDict())
+                # EXECUTOR-side delivery: a site-wide redesign can make the
+                # changed set round-sized-times-pages — collecting it to
+                # the driver would O(changes) the one process that must
+                # never OOM. deliver ships in the task closure (it must be
+                # picklable) and each partition posts its own rows.
+                def _deliver_partition(rows) -> None:
+                    for r in rows:
+                        deliver(r.asDict())
+
+                changes.foreachPartition(_deliver_partition)
             new_state = (
                 prev.unionByName(hashed.select("url_canon", "new_hash", "round"))
                 .groupBy("url_canon")

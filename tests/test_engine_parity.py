@@ -157,6 +157,76 @@ def test_resume_identical(spark, corpus_dir, oracle):
     )
 
 
+def test_resume_after_mid_compaction_kill(spark, corpus_dir, oracle):
+    """Round-4 VERDICT task 3: the riskiest kill window is MID-COMPACTION —
+    the frontier snapshot parquet is on disk but the manifest is not, and
+    the in-memory seen-base refold / pending rebase may be half done. Kill
+    at BOTH edges of that window (right after the snapshot write; right
+    before the manifest commit, i.e. after the refold+rebase), resume with
+    a fresh engine, and require the bit-identical final crawl order —
+    proving manifest-last covers the compaction path, not just the
+    round-boundary kills test_resume_identical exercises."""
+    import dataclasses
+
+    from sitemap_scan_spark.plans.checkpoint import RoundStore
+
+    cfg = dataclasses.replace(CFG, frontier_compact_every=2)
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    crash_round = 4  # a compaction round (2,4,6,8 with compact_every=2)
+
+    class KillAfterSnapshotWrite(RoundStore):
+        """Dies the instant the compaction snapshot parquet is fully
+        written — before the seen/pending caches refold from it."""
+
+        def write_table(self, spark_, rnd, name, df):
+            out = super().write_table(spark_, rnd, name, df)
+            if name == "frontier" and rnd == crash_round:
+                raise RuntimeError("killed: snapshot written, manifest absent")
+            return out
+
+    class KillBeforeManifestCommit(RoundStore):
+        """Dies after the ENTIRE compaction block (snapshot + refold +
+        rebase) — the last instant before the round becomes visible."""
+
+        def commit_manifest(self, rnd, counters):
+            if rnd == crash_round:
+                raise RuntimeError("killed: compaction done, manifest absent")
+            return super().commit_manifest(rnd, counters)
+
+    for tag, store_cls in (
+        ("postwrite", KillAfterSnapshotWrite),
+        ("precommit", KillBeforeManifestCommit),
+    ):
+        workdir = f"/tmp/ssc_engine_midcompact_{tag}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        eng1 = CrawlEngine(spark, pages, cfg, workdir)
+        eng1.store = store_cls(eng1.store.root)
+        with pytest.raises(RuntimeError, match="killed"):
+            eng1.run(seeds)
+        # the partial compaction round is on disk but invisible
+        assert eng1.store.latest_round() == crash_round - 1
+        partial = os.path.join(workdir, "rounds", f"round_{crash_round:04d}")
+        assert os.path.exists(os.path.join(partial, "fetch_log"))
+        assert not os.path.exists(os.path.join(partial, "_manifest.json"))
+
+        eng2 = CrawlEngine(spark, pages, cfg, workdir)  # fresh process
+        assert eng2.store.latest_round() == crash_round - 1
+        eng2.run(seeds)
+        got = (
+            eng2.crawl_order()
+            .toPandas()
+            .sort_values(["round", "rank"])
+            .reset_index(drop=True)
+        )
+        want = oracle.order_df().sort_values(["round", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"round": "int64", "rank": "int64"}),
+            want.astype({"round": "int64", "rank": "int64"}),
+        )
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_bloom_autotune_switches_modes_identically(spark, corpus_dir, oracle):
     """Round-3 VERDICT item 7: with bloom_min_frontier in the middle of the
     crawl's frontier growth (311 → ~4.5k on this corpus), the engine must
