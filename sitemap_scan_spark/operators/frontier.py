@@ -57,7 +57,12 @@ def parallel_global_rank(
        (one tiny count job) — contiguous, deterministic, never serial.
 
     Returns (ranked_df, persisted_handle, total_rows); the caller unpersists
-    the handle after materializing."""
+    the handle after materializing.
+
+    (A collect-free variant — offsets computed in-query via a broadcast
+    join — was measured SLOWER on the crawl path: every action consuming
+    the ranked frame re-materializes the offset subplan's broadcast, and
+    those launches cost more than the one collect they replace.)"""
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bucketed = df.repartitionByRange(n_buckets, *order_cols).withColumn(
@@ -272,6 +277,10 @@ def dequeue(
 
     # Global rank + cap via the parallel global rank (range repartition +
     # bucket offsets) — never a single-partition Window.orderBy merge.
+    # Measured (3-round crawl, sf0.1-scale corpus, warm): the eager
+    # collect beats lazy=True here — `taken` is consumed by several
+    # actions per round, and each would re-materialize the lazy offsets'
+    # broadcast subplan, costing more launches than the one collect saves.
     ranked, bucketed, _total = parallel_global_rank(
         survivors, order_key(), rank_name="rank", start=1
     )

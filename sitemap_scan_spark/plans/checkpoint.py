@@ -40,6 +40,11 @@ _ROUND_RE = re.compile(r"^round_(\d{4})$")
 class RoundStore:
     def __init__(self, root: str):
         self.root = root
+        # table-name → schema of the last write this process made: reads of
+        # a table we wrote ourselves skip schema inference (a 1-task
+        # footer-read job per read — pure per-round fixed cost). Resume in
+        # a fresh process falls back to inference once per table.
+        self._schemas: dict = {}
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, rnd: int) -> str:
@@ -66,21 +71,34 @@ class RoundStore:
     def write_table(self, spark: SparkSession, rnd: int, name: str, df: DataFrame) -> DataFrame:
         """Write one table of an in-progress round and return it re-read —
         the write-first pattern: materialize once, reuse from disk (cheaper
-        and more memory-safe than caching wide rows on the heap)."""
+        and more memory-safe than caching wide rows on the heap). The
+        re-read declares the schema we just wrote, so it plans ZERO jobs —
+        schema inference would launch a 1-task footer-read job per
+        write_table call, a pure per-round fixed cost."""
         path = os.path.join(self._dir(rnd), name)
         df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        self._schemas[name] = df.schema
+        return spark.read.schema(df.schema).parquet(path)
 
     def table_lineage(self, rnd: int, name: str) -> dict:
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
         path = os.path.join(self._dir(rnd), name)
         files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        # footer reads are tiny but latency-bound (one fs round trip per
+        # partition file); serial reads make the manifest commit a
+        # parallelism-independent per-round cost — overlap them
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+            rows = list(
+                ex.map(
+                    lambda f: pq.read_metadata(os.path.join(path, f)).num_rows, files
+                )
+            )
         return {
             "n_files": len(files),
             "partitions": [
-                {"file": f, "rows": pq.read_metadata(os.path.join(path, f)).num_rows}
-                for f in files
+                {"file": f, "rows": n} for f, n in zip(files, rows)
             ],
         }
 
@@ -144,8 +162,54 @@ class RoundStore:
     def has_table(self, rnd: int, name: str) -> bool:
         return os.path.exists(os.path.join(self._dir(rnd), name, "_SUCCESS"))
 
+    def write_local_table(self, rnd: int, name: str, table) -> None:
+        """Write a TINY dim table (e.g. the sleeping-hosts politeness dim —
+        bounded by delayed hosts, broadcast-sized by construction) straight
+        from the driver via pyarrow: zero Spark jobs, same on-disk layout
+        (a directory of .parquet files) as write_table, so has_table /
+        table_lineage / manifest commits treat it identically."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._dir(rnd), name)
+        if os.path.exists(path):
+            _shutil.rmtree(path)
+        os.makedirs(path)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        # the commit marker Spark writes — has_table() keys on it
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    def read_local_table(self, rnd: int, name: str, columns: list | None = None):
+        """pyarrow read of a table dir (driver-side, zero Spark jobs) —
+        concatenates the .parquet files, skipping Spark's _SUCCESS markers.
+        Pass ``columns`` to prune at read time (parquet is columnar — the
+        unread columns' pages are never touched)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._dir(rnd), name)
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        return pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files]
+        )
+
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._dir(rnd), name))
+        return self.read_paths(spark, name, [os.path.join(self._dir(rnd), name)])
+
+    def read_paths(self, spark: SparkSession, name: str, paths: list) -> DataFrame:
+        """Read parquet dirs of table ``name``, skipping schema inference
+        when this process wrote the table before (see _schemas)."""
+        reader = spark.read
+        schema = self._schemas.get(name)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*paths)
+        if schema is None:
+            self._schemas[name] = df.schema  # infer once, then cached
+        return df
 
     def read_deltas(self, spark: SparkSession, name: str) -> DataFrame | None:
         """Union a delta table (fetch_log / frontier_inserts) across all
@@ -157,4 +221,4 @@ class RoundStore:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self.read_paths(spark, name, paths)

@@ -99,6 +99,11 @@ class CrawlEngine:
         self._seen_base: DataFrame | None = None
         self._seen_tail_rounds: list[int] = []
         self._seen_through: int | None = None
+        # wall-clock politeness dim cache: host → next_eligible_round
+        # (sleeping hosts only — broadcast-sized by construction, so a
+        # driver dict is the right home; persisted per round via pyarrow)
+        self._sleeping: dict[str, int] | None = None
+        self._sleeping_round: int | None = None
         if refresh_pages:
             # the pages table changed underneath (new crawl epoch) —
             # rebuild the canonicalized materialization
@@ -142,11 +147,16 @@ class CrawlEngine:
             ).isEmpty()
         return self._any_delayed
 
-    def _host_state(self, rnd: int):
+    def _host_state(self, rnd: int) -> dict[str, int] | None:
         """The wall-clock politeness dim as of round ``rnd``:
-        (host, next_eligible_round) for hosts still sleeping off a
+        {host: next_eligible_round} for hosts still sleeping off a
         crawl_delay > round_period. Tiny by construction (delayed hosts
-        only) — written as a full per-round snapshot.
+        only — the engine broadcasts it into the dequeue anyway, so it is
+        broadcast-sized by definition): it lives as a DRIVER DICT, is
+        persisted per round via a zero-job pyarrow write, and its per-round
+        maintenance costs zero Spark job launches (it used to be a
+        groupBy+union+write job plus a read-back — pure fixed cost in the
+        small-round regime).
 
         Walks BACK to the most recent committed round <= rnd that carries
         the table: discovery_refresh commits a round without host_state,
@@ -154,10 +164,21 @@ class CrawlEngine:
         (next_eligible_round is an absolute round number, exactly like the
         oracle's run-scoped ``next_eligible`` dict, so the comparison stays
         correct across intervening refresh rounds)."""
+        if self._sleeping_round == rnd:
+            return self._sleeping
+        state: dict[str, int] | None = None
         for r in range(rnd, -1, -1):
             if self.store.has_table(r, "host_state"):
-                return self.store.read_table(self.spark, r, "host_state")
-        return None
+                t = self.store.read_local_table(r, "host_state")
+                state = dict(
+                    zip(
+                        t.column("host").to_pylist(),
+                        t.column("next_eligible_round").to_pylist(),
+                    )
+                )
+                break
+        self._sleeping, self._sleeping_round = state, rnd
+        return state
 
     def _build_robots_dim(self) -> DataFrame:
         """Parse robots.txt rows into the per-host rules dim
@@ -491,8 +512,10 @@ class CrawlEngine:
                 .unionByName(tail_nxt)
             )
         tail_nxt = tail_nxt.persist()
-        base_nxt.count()  # materialize BEFORE dropping the parents
-        tail_nxt.count()
+        # materialize BEFORE dropping the parents — ONE job scans both
+        # persisted frames (a count per frame would pay a second job launch
+        # per round for no extra information)
+        base_nxt.unionByName(tail_nxt).count()
         self._pending_base.unpersist()
         if self._pending_tail is not None:
             self._pending_tail.unpersist()
@@ -519,7 +542,9 @@ class CrawlEngine:
                 os.path.join(self.store._dir(r), "frontier_inserts")
                 for r in self._seen_tail_rounds
             ]
-            tail = self.spark.read.parquet(*paths).select("url_canon")
+            tail = self.store.read_paths(
+                self.spark, "frontier_inserts", paths
+            ).select("url_canon")
         return self._seen_base, tail
 
     def _set_seen_base(self, keys: DataFrame) -> None:
@@ -846,11 +871,15 @@ class CrawlEngine:
         period = cfg.round_period()
         wallclock = self._wallclock_politeness_on()
         prev_host_state = self._host_state(rnd - 1) if wallclock else None
-        if prev_host_state is not None:
-            sleeping = prev_host_state.filter(
-                F.col("next_eligible_round") > rnd
-            ).select("host")
-            # broadcast anti — narrow, so the base part keeps its
+        sleeping_now = {
+            h: nr for h, nr in (prev_host_state or {}).items() if nr > rnd
+        }
+        if sleeping_now:
+            sleeping = self.spark.createDataFrame(
+                [(h,) for h in sorted(sleeping_now)], "host string"
+            )
+            # broadcast anti over a LocalRelation — narrow (no job to
+            # materialize the build side), so the base part keeps its
             # (host, _salt) partitioning into the phase-1 window
             eligible_parts = [
                 p.join(F.broadcast(sleeping), "host", "left_anti")
@@ -938,27 +967,43 @@ class CrawlEngine:
             dq._ssc_persisted.unpersist()
         if wallclock:
             # hosts hit this round with delay > period sleep ceil(d/T)-1
-            # rounds; carry forward still-sleeping hosts, newest round wins
-            hit = (
-                fetch_log.filter(F.col("crawl_delay") > period)
-                .groupBy("host")
-                .agg(F.min("crawl_delay").alias("_d"))
-                .select(
-                    "host",
-                    (F.lit(rnd) + F.ceil(F.col("_d") / F.lit(period)))
-                    .cast("int")
-                    .alias("next_eligible_round"),
-                )
+            # rounds; carry forward still-sleeping hosts, newest round wins.
+            # Computed DRIVER-side from the just-written fetch_log delta:
+            # a column-pruned pyarrow read of (host, crawl_delay) — the
+            # delta is round-sized and local — replaces a per-round
+            # groupBy+union+write Spark job with zero launches; the dim
+            # stays bounded by delayed hosts (broadcast-sized).
+            import math
+
+            import pyarrow as pa
+
+            fl = store.read_local_table(
+                rnd, "fetch_log", columns=["host", "crawl_delay"]
             )
-            new_state = hit
-            if prev_host_state is not None:
-                new_state = prev_host_state.filter(
-                    F.col("next_eligible_round") > rnd
-                ).unionByName(hit)
-            new_state = new_state.groupBy("host").agg(
-                F.max("next_eligible_round").alias("next_eligible_round")
+            hit: dict[str, int] = {}
+            for h, d in zip(
+                fl.column("host").to_pylist(), fl.column("crawl_delay").to_pylist()
+            ):
+                if d is not None and d > period:
+                    hit[h] = min(hit.get(h, d), d)
+            new_state = dict(sleeping_now)  # hosts still mid-sleep
+            for h, d in hit.items():
+                nr = rnd + math.ceil(d / period)
+                new_state[h] = max(new_state.get(h, 0), nr)
+            store.write_local_table(
+                rnd,
+                "host_state",
+                pa.table(
+                    {
+                        "host": pa.array(sorted(new_state), type=pa.string()),
+                        "next_eligible_round": pa.array(
+                            [new_state[h] for h in sorted(new_state)],
+                            type=pa.int32(),
+                        ),
+                    }
+                ),
             )
-            store.write_table(self.spark, rnd, "host_state", new_state)
+            self._sleeping, self._sleeping_round = new_state, rnd
         _mark("dequeue+fetch+parse+write fetch_log")
 
         # 5/6. candidate links from the fetch_log delta: explode + redirect
@@ -1053,9 +1098,26 @@ class CrawlEngine:
         ins_counts = obs_ins.get
         if bloom_decision is not None:
             cands.unpersist()  # the measurement's persisted candidate set
+        bloom_thread = None
         if self._bloom is not None:
-            self._bloom.update(new_rows.select("url_canon"))
-        _mark("candidates+anti-join+write inserts+bloom")
+            # OVERLAP the bloom update with the pending-cache advance /
+            # compaction below: both consume the disk-backed insert delta
+            # and are independent of each other, so their jobs interleave
+            # in the scheduler instead of paying two serial launches —
+            # shaving a parallelism-independent per-round fixed cost.
+            import threading
+
+            bloom_err: list[BaseException] = []
+
+            def _upd() -> None:
+                try:
+                    self._bloom.update(new_rows.select("url_canon"))
+                except BaseException as e:  # surfaced at join below
+                    bloom_err.append(e)
+
+            bloom_thread = threading.Thread(target=_upd, name="bloom-update")
+            bloom_thread.start()
+        _mark("candidates+anti-join+write inserts")
 
         # (url_seen is DERIVED from fetch_log + frontier_inserts at read
         # time — see url_seen(); no separate per-round write)
@@ -1094,6 +1156,12 @@ class CrawlEngine:
                 snapshot.filter(F.col("status") == "pending"), rnd
             )
             _mark("compact frontier snapshot + refold seen base + rebase pending")
+
+        if bloom_thread is not None:
+            bloom_thread.join()
+            if bloom_err:
+                raise bloom_err[0]
+            _mark("bloom update (overlapped)")
 
         # counters were observed during the two writes above — no rescans
         counters = {
