@@ -147,6 +147,59 @@ class TestSimilarity:
             "PartitionFilters"
         )[1][:200]
 
+    def test_ivf_recall_at_default_setting(self, spark):
+        """Round-4 VERDICT task 6: the IVF path's quality at its default
+        knobs (n_lists=16, nprobe=4) is asserted evidence, not an
+        assumption — recall@10 ≥ 0.9 on a clustered corpus (the regime IVF
+        targets; embeddings cluster in practice). Same corpus generator as
+        tools/ann_bench.py, which records the full recall-vs-nprobe curve
+        in BENCH/ANN_RECALL.md."""
+        import numpy as np
+
+        from sitemap_scan_spark.operators.similarity import (
+            ivf_assign,
+            ivf_pivots,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        dim, clusters, n = 32, 64, 6000
+        centers = rng.normal(size=(clusters, dim)) * 3.0
+        assign = rng.randint(0, clusters, n)
+        vecs = (centers[assign] + rng.normal(size=(n, dim))).astype(np.float64)
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(n, dtype=np.int64),
+                 "embedding": [v.tolist() for v in vecs]}
+            )
+        ).repartition(8).persist()
+        df.count()
+        pivots = ivf_pivots(df, 16)
+        assigned = ivf_assign(df, pivots).persist()
+        assigned.count()
+
+        hits = total = 0
+        for _ in range(8):
+            q = centers[rng.randint(0, clusters)] + rng.normal(size=dim)
+            cos = (vecs @ q) / (
+                np.linalg.norm(vecs, axis=1) * np.linalg.norm(q) + 1e-12
+            )
+            want = set(np.argsort(-cos, kind="stable")[:10].tolist())
+            got = {
+                r.vec_id
+                for r in ivf_topk(
+                    df, q.tolist(), k=10, n_lists=16, nprobe=4,
+                    assigned=assigned, pivots=pivots,
+                ).collect()
+            }
+            hits += len(got & want)
+            total += 10
+        df.unpersist()
+        assigned.unpersist()
+        assert hits / total >= 0.9, f"recall@10 = {hits/total:.3f}"
+
     def test_simhash_near_pairs_complete_vs_brute(self, spark, sf_dir):
         """Block banding must find EXACTLY the brute-force hamming≤d set
         (pigeonhole completeness), never a subset."""
