@@ -48,6 +48,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread_on(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism when the input
+    arrives in fewer splits — the testdata tables are single-row-group
+    parquet files (unsplittable by maxPartitionBytes), which would otherwise
+    run sort/compute-heavy operators on 1-2 cores (guide §2.5 "input skew:
+    one huge unsplittable file — repartition immediately after the read").
+    Hash partitioning on a real key avoids the local sort a round-robin
+    repartition pays (spark.sql.execution.sortBeforeRepartition); a no-op on
+    well-split production inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 # --------------------------------------------------------------------------
 # entry — flagship: the frontier-dequeue→fetch→dedup round shape over testdata
 # --------------------------------------------------------------------------
@@ -100,8 +115,10 @@ def q_frontier_dequeue(spark, sf):
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    # spread first: the partial WindowGroupLimit sorts each input split in
+    # full, and the single-file input arrives in only 1-2 splits
     return (
-        _t(spark, sf, "orders")
+        _spread_on(_t(spark, sf, "orders"), "o_orderkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
@@ -115,7 +132,7 @@ def q_frontier_budget(spark, sf):
     )
     budget = F.when(F.col("o_orderpriority").startswith("1"), 3).otherwise(7)
     return (
-        _t(spark, sf, "orders")
+        _spread_on(_t(spark, sf, "orders"), "o_orderkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= budget)
         .groupBy("o_orderpriority")
@@ -127,8 +144,12 @@ def q_url_seen_anti(spark, sf):
     """D3: anti-join URL-seen dedup (orders with no lineitem)."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    # SHUFFLE_HASH instead of the auto-picked broadcast: building one hash
+    # relation over every lineitem key serializes 6M-row relation
+    # construction on the driver; the shuffled hash join builds 32 small
+    # maps in parallel (guide §3.1), and neither side is sorted.
     return (
-        o.join(li, "o_orderkey", "left_anti")
+        o.join(li.hint("SHUFFLE_HASH"), "o_orderkey", "left_anti")
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_new"))
     )
@@ -424,7 +445,8 @@ def q_embedding_topk(spark, sf):
         )
     )
     return (
-        emb.crossJoin(F.broadcast(q))
+        _spread_on(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6).alias("cos"),

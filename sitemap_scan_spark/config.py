@@ -44,6 +44,13 @@ class CrawlConfig:
     sitemap_url_pattern: str = r"(?i)\.xml$"
     # number of salt buckets for the two-phase hot-host dequeue (1 = off)
     salt_buckets: int = 8
+    # pending-set size (manifest's arithmetic counter) below which the
+    # dequeue skips the at-scale machinery (salt pruning + sampled
+    # range-partition global rank — a sampling pass, a range exchange, a
+    # persist and a count-collect job per round) for one exact window:
+    # identical output, measured ~2.5x cheaper when pending fits one sort
+    # task. Scale-adaptive: a growing frontier flips back automatically.
+    dequeue_small_max_pending: int = 200_000
     # frontier size below which the Bloom prefilter's per-round jobs cost
     # more than the plain anti-join they'd accelerate (exact join is always
     # the correctness backstop)

@@ -88,25 +88,37 @@ def minhash_signatures(
     """(id, minhash: array<long>) — minhash_i = min over shingles of
     (a_i*h + b_i) mod p, h the shingle's 28-bit md5-derived int.
 
-    ONE md5 per shingle (not num_hashes md5s of concatenated strings) and
-    8-byte longs (not 32-char hex) through the explode/shuffle/min-agg —
-    the i-th hash is pure int arithmetic inside whole-stage codegen. The
-    family is the textbook universal (a*x+b) mod p with p prime above the
-    hash universe; coefficients are deterministic so a SQL oracle
-    reproduces the exact signature values."""
-    sh = shingle_fingerprints(F.col(text_col), n=shingle_n)
-    # hash to int64 INSIDE the array before exploding (a generator can't be
-    # nested in an expression, and longs are cheaper generator output too)
-    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(F.transform(sh, shingle_int_hash)).alias("h")
+    ONE md5 per shingle (not num_hashes md5s of concatenated strings), and
+    — because each signature component is a per-document min over that
+    document's own shingles — the whole signature is computed PER ROW with
+    ``array_min`` over the shingle array: zero explode, zero shuffle, zero
+    aggregation (guide §2.4 "remove shuffles outright"; the previous
+    explode+groupBy shuffled one (id, hash) row per shingle — ~200× the
+    document count — only to min() them back per document). Docs with no
+    shingles (< shingle_n words) are filtered out, exactly the rows the old
+    explode dropped. The family is the textbook universal (a*x+b) mod p
+    with p prime above the hash universe; coefficients are deterministic so
+    a SQL oracle reproduces the exact signature values."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+    sh = shingle_fingerprints(F.col(text_col), n=shingle_n)
+    # materialize the int-hash array ONCE in its own projection — each mh_i
+    # references it, and CollapseProject keeps a non-cheap multi-referenced
+    # expression in its own step, so the md5s are not recomputed per hash
+    hashed = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .filter(F.size(words) >= shingle_n)
+        .select(F.col(id_col), F.transform(sh, shingle_int_hash).alias("_h"))
+    )
+    mins = [
+        F.array_min(
+            F.transform("_h", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = base.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
+    return hashed.select(
+        id_col, F.array(*mins).alias("minhash")
     )
 
 
@@ -209,11 +221,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
-    # NOT _spread: the 60-column partial agg's merge traffic (docs × 61
-    # cols × partitions) outweighs the explode's parallelism win — measured
-    # 1.6 s single-split vs 2.1 s spread at sf0.1. Well-split inputs
-    # parallelize naturally.
-    base = df.select(F.col(id_col), F.explode(words).alias("w")).select(
+    # _spread before the explode: a single-row-group input (pandas parquet)
+    # would otherwise run the whole md5-per-word explode on ONE core —
+    # measured 5.5 s single-split vs 1.1 s spread at sf1.0 (50k docs).
+    # Each document lands wholly in one partition, so the partial agg still
+    # merges only one 61-column row per document.
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(words).alias("w")
+    ).select(
         F.col(id_col),
         F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
     )

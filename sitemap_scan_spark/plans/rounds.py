@@ -134,7 +134,12 @@ class CrawlEngine:
                 .parquet(path)
             )
         self.pages_canon = self.spark.read.parquet(path)
-        self.robots_dim = self._build_robots_dim()
+        # persist the per-host rules dim: it is broadcast into the insert
+        # gate EVERY round, and without the persist each broadcast rebuild
+        # re-ran the robots mapInPandas parse over the pages scan (~0.35 s
+        # of per-round fixed cost; the dim is one row per robots host —
+        # cache-resident by construction)
+        self.robots_dim = self._build_robots_dim().persist()
         self._any_delayed: bool | None = None  # lazily probed once
 
     def _wallclock_politeness_on(self) -> bool:
@@ -893,8 +898,18 @@ class CrawlEngine:
         # per round for dequeue+fetch instead of two — the rank/host/delay
         # columns are round-sized, and manifest-last keeps the commit
         # atomic either way).
+        prev_counters = store.read_manifest(rnd - 1)["counters"]
+        prev_pending = prev_counters.get("n_pending_after")
         dq = dequeue(
-            eligible_parts, cfg.base_host_budget, cfg.round_size, cfg.salt_buckets, period
+            eligible_parts,
+            cfg.base_host_budget,
+            cfg.round_size,
+            cfg.salt_buckets,
+            period,
+            small_input=(
+                prev_pending is not None
+                and prev_pending <= cfg.dequeue_small_max_pending
+            ),
         )
         taken = dq.select(
             F.lit(rnd).alias("round"),
@@ -914,28 +929,35 @@ class CrawlEngine:
         hits = self.pages_canon.select("url_canon", "html").join(
             F.broadcast(taken.select("url_canon")), "url_canon", "inner"
         )
-        fetched = taken.join(hits, "url_canon", "left")
         # parse entirely JVM-side (extract_text_col/extract_links_col are
         # whole-stage-codegen regex twins of the pandas extractors — in
         # local mode a pandas-UDF here would oversubscribe every core with
-        # a python worker; byte-identity is covered by the parity suite)
-        enriched = (
-            fetched.withColumn(
-                "links",
-                F.when(F.col("html").isNotNull(), extract_links_col("html")),
-            )
-            .withColumn("redirect_to", extract_redirect_col("html"))
-            .withColumn(
-                "status",
-                F.when(F.col("html").isNull(), "miss")
-                .when(F.col("redirect_to").isNotNull(), "redirect")
-                .otherwise("fetched"),
-            )
-            .withColumn(
-                "text_extracted",
-                F.when(F.col("status") == "fetched", extract_text_col("html")),
-            )
+        # a python worker; byte-identity is covered by the parity suite).
+        # The extraction runs HERE, in the pages-scan stage, so the second
+        # join moves (and at round scale broadcasts) only the extracted
+        # columns — never the raw html payload (guide §2.3/§8: decide and
+        # move the heavy bytes once; previously the hit rows' html was
+        # carried through the taken⋈hits join and parsed there).
+        redirect = extract_redirect_col("html")
+        parsed = hits.select(
+            "url_canon",
+            F.when(F.col("html").isNotNull(), extract_links_col("html")).alias(
+                "links"
+            ),
+            redirect.alias("redirect_to"),
+            F.when(
+                F.col("html").isNotNull() & redirect.isNull(),
+                extract_text_col("html"),
+            ).alias("text_extracted"),
+            F.col("html").isNotNull().alias("_hit"),
         )
+        fetched = taken.join(parsed, "url_canon", "left")
+        enriched = fetched.withColumn(
+            "status",
+            F.when(F.col("_hit").isNull() | ~F.col("_hit"), "miss")
+            .when(F.col("redirect_to").isNotNull(), "redirect")
+            .otherwise("fetched"),
+        ).drop("_hit")
         # round counters ride the WRITE job as observed metrics — zero extra
         # passes (at 10^8-URL cluster rounds a per-round status-column rescan
         # is real money; Observation aggregates map-side during the write)
@@ -1045,7 +1067,7 @@ class CrawlEngine:
         # loudly rather than quietly re-counting (there is no legacy format
         # to be compatible with; crawl_order()/url_seen() make the same
         # single-format assumption).
-        frontier_size = store.read_manifest(rnd - 1)["counters"]["frontier_size"]
+        frontier_size = prev_counters["frontier_size"]
         seen_base, seen_tail = self._seen_parts(rnd - 1)
         use_bloom_now, bloom_decision, cands = self._decide_urlseen_mode(
             frontier_size, cands, seen_base, seen_tail
@@ -1184,8 +1206,7 @@ class CrawlEngine:
             counters["bloom_skip_frac"] = round(nd / max(nd + nchk, 1), 4)
         counters["frontier_size"] = frontier_size + counters["n_new"]
         # pending is tracked arithmetically so run() never rescans the
-        # frontier just to decide termination
-        prev_pending = store.read_manifest(rnd - 1)["counters"].get("n_pending_after")
+        # frontier just to decide termination (prev_pending read above)
         if prev_pending is not None:
             counters["n_pending_after"] = (
                 prev_pending - counters["n_taken"] - counters["n_blocked"] + counters["n_new"]

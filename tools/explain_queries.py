@@ -1,0 +1,55 @@
+"""Dump .explain("formatted") for declared queries to plans/r06/.
+
+Usage: python tools/explain_queries.py <suffix> [query ...]
+Writes plans/r06/<name>_<suffix>.txt for each query (default: the bench
+HEADLINE set). Plan capture only — no timing, safe to run under load.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADLINE = [
+    "frontier_dequeue",
+    "url_seen_anti",
+    "lag_change_flag",
+    "run_counters",
+    "overview_join",
+    "text_norm_hash",
+    "minhash",
+    "simhash",
+    "embedding_topk",
+    "ngram_jaccard",
+]
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from sitemap_scan_spark.session import get_spark
+
+    spark = get_spark("explain", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {name}_{suffix}.txt")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
