@@ -44,6 +44,11 @@ def main() -> None:
 
     spark = get_spark("bench_extra", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
+    # experiment hook: SSC_CONF="k=v;k2=v2" sets runtime SQL confs
+    for kv in filter(None, os.environ.get("SSC_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+        print(f"conf {k}={v}", file=sys.stderr)
     qs = entrymod.queries()
 
     out: dict[str, dict[str, float]] = {}

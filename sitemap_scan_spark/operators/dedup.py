@@ -28,17 +28,20 @@ from pyspark.sql import functions as F
 from ..functions.textstats import doc_fingerprint, shingle_fingerprints
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the rows across the session's default parallelism when
-    the input arrives in fewer partitions — a single-row-group parquet file
-    (pandas' default writes 1M-row groups, unsplittable by
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition on ``key`` across the session's default parallelism
+    when the input arrives in fewer partitions — a single-row-group parquet
+    file (pandas' default writes 1M-row groups, unsplittable by
     maxPartitionBytes) would otherwise run the whole md5-per-shingle
-    explode on ONE core. The shuffle moves only the narrow projection the
-    caller already made; at production scale inputs arrive in many splits
-    and this is a no-op."""
+    explode on ONE core. Hash partitioning (not round-robin) because a
+    keyless repartition first pays a LOCAL SORT of its input
+    (spark.sql.execution.sortBeforeRepartition) — serial on the very
+    single-split inputs this helper exists for. The shuffle moves only the
+    narrow projection the caller already made; at production scale inputs
+    arrive in many splits and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target, F.col(key))
     return df
 
 
@@ -107,7 +110,7 @@ def minhash_signatures(
     # references it, and CollapseProject keeps a non-cheap multi-referenced
     # expression in its own step, so the md5s are not recomputed per hash
     hashed = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
+        _spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
         .filter(F.size(words) >= shingle_n)
         .select(F.col(id_col), F.transform(sh, shingle_int_hash).alias("_h"))
     )
@@ -226,7 +229,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # measured 5.5 s single-split vs 1.1 s spread at sf1.0 (50k docs).
     # Each document lands wholly in one partition, so the partial agg still
     # merges only one 61-column row per document.
-    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col), F.explode(words).alias("w")
     ).select(
         F.col(id_col),

@@ -201,15 +201,45 @@ class RoundStore:
 
     def read_paths(self, spark: SparkSession, name: str, paths: list) -> DataFrame:
         """Read parquet dirs of table ``name``, skipping schema inference
-        when this process wrote the table before (see _schemas)."""
+        when this process wrote the table before (see _schemas).
+
+        Cross-round unions validate ONE parquet footer (a driver-side
+        metadata read, no Spark job) against the cached schema: declared-
+        schema reads silently null-fill missing columns, so a resume over
+        rounds written by an older code version must fall back to inference
+        instead of fabricating nulls."""
         reader = spark.read
         schema = self._schemas.get(name)
+        if schema is not None and len(paths) > 1 and not self._footer_matches(
+            paths[0], schema
+        ):
+            schema = None
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(*paths)
         if schema is None:
-            self._schemas[name] = df.schema  # infer once, then cached
+            self._schemas[name] = df.schema  # (re-)infer once, then cached
         return df
+
+    @staticmethod
+    def _footer_matches(path: str, schema) -> bool:
+        """True iff the first parquet file under ``path`` has exactly the
+        cached column names (order-insensitive; types are left to the
+        parquet reader, which errors loudly on real type conflicts)."""
+        import pyarrow.parquet as pq
+
+        try:
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not files:
+                return True
+            names = set(
+                pq.read_schema(os.path.join(path, files[0])).names
+            )
+        except OSError:
+            return True  # unreadable here → let the Spark read surface it
+        return names == {f.name for f in schema.fields}
 
     def read_deltas(self, spark: SparkSession, name: str) -> DataFrame | None:
         """Union a delta table (fetch_log / frontier_inserts) across all

@@ -75,9 +75,16 @@ def delete_host(
             df = spark.read.parquet(p)
             if "url_canon" not in df.columns:
                 continue
-            # ONE job per table: total rows come from the existing parquet
-            # footers (a metadata read, no scan) and the kept count rides
-            # the rewrite job as an Observation — the old
+            # probe before rewriting: a targeted host delete touches few
+            # rounds, and the unconditional rewrite was rewriting the WHOLE
+            # store to discover n == 0 per table. The probe is a limit-1
+            # scan over the one (pruned) url_canon column — only tables
+            # that actually contain the host pay the rewrite job.
+            if df.filter(host_of == host).isEmpty():
+                continue
+            # ONE rewrite job per affected table: total rows come from the
+            # existing parquet footers (a metadata read, no scan) and the
+            # kept count rides the rewrite job as an Observation — the old
             # df.count() - keep.count() pattern scanned the table twice
             # before writing it a third time.
             total = sum(

@@ -104,6 +104,7 @@ class CrawlEngine:
         # driver dict is the right home; persisted per round via pyarrow)
         self._sleeping: dict[str, int] | None = None
         self._sleeping_round: int | None = None
+        self._sleeping_oversized_round: int | None = None
         if refresh_pages:
             # the pages table changed underneath (new crawl epoch) —
             # rebuild the canonicalized materialization
@@ -152,6 +153,13 @@ class CrawlEngine:
             ).isEmpty()
         return self._any_delayed
 
+    # sleeping-hosts dicts beyond this row count stay DISTRIBUTED: the
+    # driver-dict politeness dim is broadcast-sized for any sane config,
+    # but a pathological one (millions of hosts all slower than the round
+    # period) must degrade to the old distributed-dim path instead of
+    # serializing a giant LocalRelation through py4j every round.
+    SLEEP_DICT_CAP = 1_000_000
+
     def _host_state(self, rnd: int) -> dict[str, int] | None:
         """The wall-clock politeness dim as of round ``rnd``:
         {host: next_eligible_round} for hosts still sleeping off a
@@ -172,8 +180,22 @@ class CrawlEngine:
         if self._sleeping_round == rnd:
             return self._sleeping
         state: dict[str, int] | None = None
+        self._sleeping_oversized_round = None
         for r in range(rnd, -1, -1):
             if self.store.has_table(r, "host_state"):
+                if self.store.table_rows(r, "host_state") > self.SLEEP_DICT_CAP:
+                    # footer row count only — the oversized dim never
+                    # reaches the driver; run_round joins it distributed
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "host_state round %d exceeds SLEEP_DICT_CAP=%d; "
+                        "falling back to the distributed politeness dim",
+                        r,
+                        self.SLEEP_DICT_CAP,
+                    )
+                    self._sleeping_oversized_round = r
+                    break
                 t = self.store.read_local_table(r, "host_state")
                 state = dict(
                     zip(
@@ -876,10 +898,24 @@ class CrawlEngine:
         period = cfg.round_period()
         wallclock = self._wallclock_politeness_on()
         prev_host_state = self._host_state(rnd - 1) if wallclock else None
+        big_sleep_round = self._sleeping_oversized_round if wallclock else None
         sleeping_now = {
             h: nr for h, nr in (prev_host_state or {}).items() if nr > rnd
         }
-        if sleeping_now:
+        if big_sleep_round is not None:
+            # distributed fallback (SLEEP_DICT_CAP exceeded — logged in
+            # _host_state): the dim is joined as a table; the base part
+            # loses its cached partitioning for this round, which is the
+            # graceful degradation the driver-dict path replaced
+            sleeping_df = (
+                store.read_table(self.spark, big_sleep_round, "host_state")
+                .filter(F.col("next_eligible_round") > rnd)
+                .select("host")
+            )
+            eligible_parts = [
+                p.join(sleeping_df, "host", "left_anti") for p in eligible_parts
+            ]
+        elif sleeping_now:
             sleeping = self.spark.createDataFrame(
                 [(h,) for h in sorted(sleeping_now)], "host string"
             )
@@ -987,7 +1023,36 @@ class CrawlEngine:
         fetch_counts = obs_fetch.get  # populated by the write job
         if hasattr(dq, "_ssc_persisted"):
             dq._ssc_persisted.unpersist()
-        if wallclock:
+        if wallclock and big_sleep_round is not None:
+            # distributed carry-forward twin of the driver-dict path below:
+            # still-sleeping rows ∪ this round's hits (nr = rnd +
+            # ceil(min_delay/period)), newest round wins per host
+            hit_df = (
+                fetch_log.filter(F.col("crawl_delay") > period)
+                .groupBy("host")
+                .agg(F.min("crawl_delay").alias("_d"))
+                .select(
+                    "host",
+                    (F.lit(rnd) + F.ceil(F.col("_d") / F.lit(period)))
+                    .cast("int")
+                    .alias("next_eligible_round"),
+                )
+            )
+            still = (
+                store.read_table(self.spark, big_sleep_round, "host_state")
+                .filter(F.col("next_eligible_round") > rnd)
+            )
+            store.write_table(
+                self.spark,
+                rnd,
+                "host_state",
+                still.unionByName(hit_df)
+                .groupBy("host")
+                .agg(F.max("next_eligible_round").alias("next_eligible_round")),
+            )
+            self._sleeping, self._sleeping_round = None, rnd
+            self._sleeping_oversized_round = rnd
+        elif wallclock:
             # hosts hit this round with delay > period sleep ceil(d/T)-1
             # rounds; carry forward still-sleeping hosts, newest round wins.
             # Computed DRIVER-side from the just-written fetch_log delta:
@@ -1025,7 +1090,15 @@ class CrawlEngine:
                     }
                 ),
             )
-            self._sleeping, self._sleeping_round = new_state, rnd
+            if len(new_state) > self.SLEEP_DICT_CAP:
+                # grew past the cap in-process: drop the dict so the next
+                # round gates distributed (the pyarrow write above is fine
+                # at any size — only the py4j LocalRelation is not)
+                self._sleeping, self._sleeping_round = None, rnd
+                self._sleeping_oversized_round = rnd
+            else:
+                self._sleeping, self._sleeping_round = new_state, rnd
+                self._sleeping_oversized_round = None
         _mark("dequeue+fetch+parse+write fetch_log")
 
         # 5/6. candidate links from the fetch_log delta: explode + redirect
@@ -1152,12 +1225,13 @@ class CrawlEngine:
         # the fresh snapshot below replaces it (and truncates lineage).
         k = max(1, self.cfg.frontier_compact_every)
         compacting = rnd % k == 0
-        if not compacting:
-            self._advance_pending(
-                rnd, fetch_log, new_rows, int(fetch_counts["n_taken"] or 0)
-            )
-        self._seen_tail_rounds.append(rnd)
-        self._seen_through = rnd
+        try:
+            if not compacting:
+                self._advance_pending(
+                    rnd, fetch_log, new_rows, int(fetch_counts["n_taken"] or 0)
+                )
+            self._seen_tail_rounds.append(rnd)
+            self._seen_through = rnd
 
         # 7. frontier commit: the round's deltas (fetch_log status updates +
         # frontier_inserts) ARE the commit — per-round bytes written scale
@@ -1168,19 +1242,26 @@ class CrawlEngine:
         # pending base+tail are rebased from it (the only O(frontier)
         # shuffles in the cycle, amortized over k rounds; the rebase also
         # bounds the pending cache's plan lineage at k joins).
-        if compacting:
-            snapshot = store.write_table(
-                self.spark, rnd, "frontier", self.frontier_at(rnd)
-            )
-            self._set_seen_base(snapshot.select("url_canon"))
-            self._seen_tail_rounds = []
-            self._rebase_pending(
-                snapshot.filter(F.col("status") == "pending"), rnd
-            )
-            _mark("compact frontier snapshot + refold seen base + rebase pending")
-
+            if compacting:
+                snapshot = store.write_table(
+                    self.spark, rnd, "frontier", self.frontier_at(rnd)
+                )
+                self._set_seen_base(snapshot.select("url_canon"))
+                self._seen_tail_rounds = []
+                self._rebase_pending(
+                    snapshot.filter(F.col("status") == "pending"), rnd
+                )
+                _mark("compact frontier snapshot + refold seen base + rebase pending")
+        finally:
+            # join the update thread on EVERY exit: if the advance or the
+            # compaction raised, the orphaned thread would otherwise race a
+            # subsequent _ensure_bloom(fresh=True) rmtree of the bloom dir
+            # (its shard writes + meta commit interleaving with the rebuild
+            # could silently lose keys); the intent journal protects state
+            # on disk, but the thread's own error was also silently lost.
+            if bloom_thread is not None:
+                bloom_thread.join()
         if bloom_thread is not None:
-            bloom_thread.join()
             if bloom_err:
                 raise bloom_err[0]
             _mark("bloom update (overlapped)")

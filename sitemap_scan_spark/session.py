@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9) — avoids sorting
+        # both sides of the per-round anti-joins; falls back to sort-merge
+        # automatically when the build side is too big to hash locally
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # pages.html is a wide binary column; keep scan splits modest so a

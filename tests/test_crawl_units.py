@@ -645,6 +645,39 @@ class TestWallClockPoliteness:
         )
         assert got_seen == want_seen
 
+    def test_oversized_sleeping_dim_falls_back_distributed(self, spark, tmp_path):
+        """Round-5 VERDICT finding 2: above SLEEP_DICT_CAP the politeness
+        dim must stay distributed (no driver dict / LocalRelation). Forcing
+        the cap to 0 routes every round through the fallback — the crawl
+        order must be IDENTICAL to the driver-dict path's oracle parity."""
+        import pandas as pd
+
+        from sim.oracle import OracleCrawler
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "corpus")
+        self._corpus(corpus)
+        cfg = CrawlConfig(base_host_budget=10, round_size=100, max_rounds=12)
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(f"{corpus}/pages.parquet"),
+            cfg,
+            str(tmp_path / "wd"),
+        )
+        eng.SLEEP_DICT_CAP = 0  # every host_state table counts as oversized
+        eng.run(spark.read.parquet(f"{corpus}/seeds.parquet"))
+        assert eng._sleeping_oversized_round is not None  # fallback engaged
+        order = [
+            (r.round, r.rank, r.url_canon) for r in eng.crawl_order().collect()
+        ]
+        slow_rounds = sorted(
+            {rnd for rnd, _rk, u in order if u.startswith("https://slow")}
+        )
+        assert slow_rounds == [1, 4, 7, 10]
+        oracle = OracleCrawler(pd.read_parquet(f"{corpus}/pages.parquet"), cfg)
+        res = oracle.crawl(pd.read_parquet(f"{corpus}/seeds.parquet"))
+        assert sorted(order) == sorted(res.crawl_order)
+
     def test_sleep_survives_discovery_refresh(self, spark, tmp_path):
         """Regression (round-3 ADVICE): discovery_refresh commits a round
         WITHOUT a host_state table; the next crawl round must walk back to
@@ -751,3 +784,89 @@ class TestPendingCacheLineage:
         compacted = by_pos.get(0)
         if compacted and len(by_pos) > 1:
             assert min(compacted) <= min(min(v) for p, v in by_pos.items() if p != 0), depths
+
+
+class TestFailurePathRobustness:
+    """Round-5 VERDICT findings 2+3: the overlapped bloom-update thread must
+    be joined on the FAILURE path too, and an oversized sleeping-hosts dim
+    must fall back to the distributed join instead of a driver dict."""
+
+    def _corpus(self, path):
+        import os
+
+        import pandas as pd
+
+        os.makedirs(path, exist_ok=True)
+        rows = [
+            (
+                "https://h.test/sitemap.xml",
+                "<urlset><url><loc>https://h.test/a</loc></url>"
+                "<url><loc>https://h.test/b</loc></url></urlset>",
+            ),
+            ("https://h.test/a",
+             '<html><a href="/c1">x</a><a href="/c2">y</a></html>'),
+            ("https://h.test/b", '<html><a href="/c3">z</a></html>'),
+            ("https://h.test/c1", "<html>leaf</html>"),
+            ("https://h.test/c2", "<html>leaf</html>"),
+            ("https://h.test/c3", "<html>leaf</html>"),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pd.to_datetime(["2026-01-01"] * len(rows))
+                .tz_localize("UTC")
+                .astype("datetime64[us, UTC]"),
+                "html": [r[1].encode() for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        pdf.to_parquet(os.path.join(path, "pages.parquet"), index=False)
+        pd.DataFrame(
+            {"seed_url": ["https://h.test/a"], "priority": [0.8]}
+        ).to_parquet(os.path.join(path, "seeds.parquet"), index=False)
+
+    def test_bloom_thread_joined_when_compaction_raises(self, spark, tmp_path):
+        """Make the compaction raise MID-OVERLAP: the exception must
+        propagate only after the update thread is joined (no orphan racing
+        a later fresh=True rebuild), and the bloom dir must be attachable
+        afterwards (intent journal committed, not dangling)."""
+        import threading
+
+        from sitemap_scan_spark.operators.urlseen import ShardedBloom
+        from sitemap_scan_spark.plans.rounds import CrawlEngine
+
+        corpus = str(tmp_path / "corpus")
+        self._corpus(corpus)
+        # bloom forced on; every round compacts
+        cfg = CrawlConfig(
+            base_host_budget=10,
+            round_size=100,
+            max_rounds=3,
+            bloom_min_frontier=0,
+            frontier_compact_every=1,
+        )
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(f"{corpus}/pages.parquet"),
+            cfg,
+            str(tmp_path / "wd"),
+        )
+        eng.init_frontier(spark.read.parquet(f"{corpus}/seeds.parquet"))
+
+        def boom(*a, **k):
+            raise RuntimeError("compaction boom")
+
+        eng._rebase_pending = boom
+        with pytest.raises(RuntimeError, match="compaction boom"):
+            eng.run_round(1)
+        assert not any(
+            t.name == "bloom-update" and t.is_alive()
+            for t in threading.enumerate()
+        ), "bloom update thread orphaned past the failure"
+        # the dir is attachable by a new process: no uncommitted intent
+        ShardedBloom(
+            expected_total=1 << 16,
+            n_shards=cfg.bloom_shards,
+            dir=str(tmp_path / "wd" / "rounds" / "_urlseen_bloom"),
+            fresh=False,
+        )

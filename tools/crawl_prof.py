@@ -23,6 +23,11 @@ def main() -> None:
 
     spark = get_spark("crawl_prof", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
+    # experiment hook: SSC_CONF="k=v;k2=v2" sets runtime SQL confs
+    for kv in filter(None, os.environ.get("SSC_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+        print(f"conf {k}={v}", flush=True)
     corpus = ensure_corpus()
     pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
     seeds = spark.read.parquet(os.path.join(corpus, "seeds.parquet"))
