@@ -44,8 +44,22 @@ from sitemap_scan_spark.operators.dedup import (  # noqa: E402
 from sitemap_scan_spark.operators.frontier import order_key  # noqa: E402
 
 
+_SCHEMAS: dict[str, object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a testdata table, declaring the schema after the first read of
+    a path: re-inference costs a footer read + py4j round trips per call,
+    which the bench pays on every trial (same pattern as RoundStore's
+    schema-declared re-reads — a catalog-backed table would come with its
+    schema attached). Metadata only; every call still scans the parquet."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMAS.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _spread_on(df: DataFrame, key: str) -> DataFrame:
