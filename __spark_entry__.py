@@ -374,7 +374,7 @@ def q_text_norm_hash(spark, sf):
 
 def q_token_counts(spark, sf):
     """Token counting: whitespace + BPE-ish regex."""
-    return _t(spark, sf, "documents").select(
+    return _spread_on(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id",
         token_count_ws("text").alias("n_ws"),
         token_count_bpe("text").alias("n_bpe"),
@@ -383,8 +383,10 @@ def q_token_counts(spark, sf):
 
 def q_lang_id(spark, sf):
     """Language-ID n-gram/stopword heuristic, distribution."""
+    # the 4-language stopword regex battery is the single most expensive
+    # per-row scan in the suite (3.7 s serial on the 1-row-group file)
     return (
-        _t(spark, sf, "documents")
+        _spread_on(_t(spark, sf, "documents"), "doc_id")
         .select(lang_id("text").alias("lid"))
         .groupBy("lid")
         .agg(F.count("*").alias("n"))
@@ -393,7 +395,9 @@ def q_lang_id(spark, sf):
 
 def q_quality(spark, sf):
     """Quality scoring features."""
-    return _t(spark, sf, "documents").select("doc_id", *quality_features("text"))
+    return _spread_on(_t(spark, sf, "documents"), "doc_id").select(
+        "doc_id", *quality_features("text")
+    )
 
 
 def q_fingerprint_dedup(spark, sf):
@@ -506,14 +510,14 @@ def q_redact_dynamic(spark, sf):
         (r"\b\d{10,13}\b", "[TIMESTAMP]"),
     ]:
         c = F.regexp_replace(c, pat, repl)
-    return _t(spark, sf, "documents").select(
+    return _spread_on(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id", F.sha2(F.trim(F.regexp_replace(c, r"\s+", " ")), 256).alias("red_hash")
     )
 
 
 def q_pattern_counts(spark, sf):
     """A7/A8 analog: per-row regex-occurrence counts (regexp_count)."""
-    return _t(spark, sf, "documents").select(
+    return _spread_on(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id",
         F.regexp_count("text", F.lit(r"(?i)\bthe\b")).alias("n_the"),
         F.regexp_count("text", F.lit(r"[aeiou]{2}")).alias("n_vowel_pairs"),
@@ -536,7 +540,7 @@ def q_quality_score(spark, sf):
     """Composite quality heuristic (textstats.quality_score)."""
     from sitemap_scan_spark.functions.textstats import quality_score
 
-    return _t(spark, sf, "documents").select(
+    return _spread_on(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id", quality_score("text").alias("q")
     )
 

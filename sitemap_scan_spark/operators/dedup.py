@@ -50,7 +50,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Output: (id_col, fingerprint, group_size)."""
     fp = doc_fingerprint(text_col).alias("fingerprint")
     return (
-        df.select(F.col(id_col), fp)
+        _spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(F.col(id_col), fp)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
         .select(id_col, "fingerprint", "group_size")
