@@ -680,9 +680,11 @@ def q_progressive_diff(spark, sf):
     from sitemap_scan_spark.plans.diffing import with_progressive_diff
 
     d = _t(spark, sf, "documents")
-    a = d.filter(F.col("doc_id") < 250).select(
-        F.col("doc_id").alias("id_a"), F.col("text").alias("text_1")
-    )
+    # NO doc_id<250 cap — the oracle pairs EVERY (a, a+250); at sf<=0.01
+    # the join itself caps at 250 pairs so results there are identical,
+    # but a filter here diverged from the oracle at sf>=0.1 (latent
+    # mismatch found in round 6's full-sf selfcheck sweep)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_1"))
     b = d.select((F.col("doc_id") - 250).alias("id_a"), F.col("text").alias("text_2"))
     return with_progressive_diff(a.join(b, "id_a"), chunk_size=200).select(
         "id_a", F.sha2(F.col("diff"), 256).alias("diff_hash"), "is_partial"
