@@ -289,10 +289,16 @@ def dequeue(
 
     if small_input:
         wg = Window.orderBy(*order_key())
-        return (
+        ranked = (
             survivors.withColumn("rank", F.row_number().over(wg).cast("int"))
             .filter(F.col("rank") <= round_size)
+            .persist()
         )
+        # the caller consumes `taken` from several actions per round (the
+        # fetch join's broadcast key side, the write job); without the
+        # persist each one re-runs both windows over the pending cache
+        ranked._ssc_persisted = ranked
+        return ranked
 
     # Global rank + cap via the parallel global rank (range repartition +
     # bucket offsets) — never a single-partition Window.orderBy merge.
