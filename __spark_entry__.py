@@ -66,15 +66,12 @@ def _spread_on(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to the session's default parallelism when the input
     arrives in fewer splits — the testdata tables are single-row-group
     parquet files (unsplittable by maxPartitionBytes), which would otherwise
-    run sort/compute-heavy operators on 1-2 cores (guide §2.5 "input skew:
-    one huge unsplittable file — repartition immediately after the read").
-    Hash partitioning on a real key avoids the local sort a round-robin
-    repartition pays (spark.sql.execution.sortBeforeRepartition); a no-op on
-    well-split production inputs."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key))
-    return df
+    run sort/compute-heavy operators on 1-2 cores. One shared policy:
+    delegates to operators.dedup._spread (hash on a real key, no-op on
+    well-split production inputs)."""
+    from sitemap_scan_spark.operators.dedup import _spread
+
+    return _spread(df, key=key)
 
 
 # --------------------------------------------------------------------------

@@ -18,24 +18,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "frontier_dequeue",
-    "url_seen_anti",
-    "lag_change_flag",
-    "run_counters",
-    "overview_join",
-    "text_norm_hash",
-    "minhash",
-    "simhash",
-    "embedding_topk",
-    "ngram_jaccard",
-]
+from bench import HEADLINE  # single source of truth for the timed set
 
 
 def main() -> None:
     args = sys.argv[1:]
-    trials = int(args[0]) if args and args[0].isdigit() else 3
-    names = [a for a in args if not a.isdigit()] or HEADLINE
+    if args and args[0].isdigit():
+        trials, names = int(args[0]), args[1:]
+    else:
+        trials, names = 3, args
+    names = names or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 

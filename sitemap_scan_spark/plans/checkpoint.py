@@ -237,8 +237,10 @@ class RoundStore:
             names = set(
                 pq.read_schema(os.path.join(path, files[0])).names
             )
-        except OSError:
-            return True  # unreadable here → let the Spark read surface it
+        except Exception:
+            # pyarrow raises ArrowInvalid (not OSError) on corrupt footers —
+            # any unreadable-here case defers to the Spark read to surface it
+            return True
         return names == {f.name for f in schema.fields}
 
     def read_deltas(self, spark: SparkSession, name: str) -> DataFrame | None:

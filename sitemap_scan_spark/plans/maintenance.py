@@ -98,13 +98,11 @@ def delete_host(
             )
             tmp = p + "__rewrite"
             keep.write.mode("overwrite").parquet(tmp)
+            # the probe above guarantees >= 1 matching row, so n > 0 here
             n = total - int(obs.get["kept"])
-            if n > 0:
-                shutil.rmtree(p)
-                os.rename(tmp, p)
-                removed[f"round_{rnd:04d}/{name}"] = n
-            else:
-                shutil.rmtree(tmp)  # nothing of this host here — keep as-is
+            shutil.rmtree(p)
+            os.rename(tmp, p)
+            removed[f"round_{rnd:04d}/{name}"] = n
     return removed
 
 

@@ -1050,8 +1050,22 @@ class CrawlEngine:
                 .groupBy("host")
                 .agg(F.max("next_eligible_round").alias("next_eligible_round")),
             )
-            self._sleeping, self._sleeping_round = None, rnd
-            self._sleeping_oversized_round = rnd
+            # footer row count (metadata only): if the dim shrank back
+            # under the cap, the next round returns to the zero-job
+            # driver-dict path instead of staying distributed forever
+            if store.table_rows(rnd, "host_state") > self.SLEEP_DICT_CAP:
+                self._sleeping, self._sleeping_round = None, rnd
+                self._sleeping_oversized_round = rnd
+            else:
+                t = store.read_local_table(rnd, "host_state")
+                self._sleeping = dict(
+                    zip(
+                        t.column("host").to_pylist(),
+                        t.column("next_eligible_round").to_pylist(),
+                    )
+                )
+                self._sleeping_round = rnd
+                self._sleeping_oversized_round = None
         elif wallclock:
             # hosts hit this round with delay > period sleep ceil(d/T)-1
             # rounds; carry forward still-sleeping hosts, newest round wins.

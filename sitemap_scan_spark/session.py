@@ -56,9 +56,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let the planner pick shuffled-hash over sort-merge when the
-        # per-partition build side fits (guide §3.1/§9) — avoids sorting
-        # both sides of the per-round anti-joins; falls back to sort-merge
-        # automatically when the build side is too big to hash locally
+        # per-partition build side is ESTIMATED to fit (guide §3.1/§9) —
+        # avoids sorting both sides of the per-round anti-joins. Caveat:
+        # the decision is plan-time size estimation and SHJ's build side
+        # cannot spill, so badly underestimated build sides (stale stats
+        # after selective filters) can OOM where sort-merge would have
+        # spilled; revisit per-join with SHUFFLE_MERGE hints if that bites.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -194,6 +194,26 @@ def change_notification_sink(
 
     from ..functions.normalize import normalized_hash
 
+    if deliver is not None:
+        # Delivery contract (at-least-once): a task retry or speculative
+        # attempt RE-DELIVERS the rows its partition already posted, so
+        # receivers must dedupe on (url_canon, round, new_hash). And
+        # because deliver runs in a pickled copy on the worker, a closure
+        # that mutates driver state (the old contract, e.g. list.append)
+        # would silently write to the copy — fail fast AT SINK
+        # CONSTRUCTION on closures cloudpickle cannot ship, not hours in
+        # when the first change-bearing batch arrives.
+        from pyspark import cloudpickle
+
+        try:
+            cloudpickle.dumps(deliver)
+        except Exception as e:
+            raise TypeError(
+                "deliver must be picklable (it runs executor-side; "
+                "driver-state closures are silently ineffective): "
+                f"{e}"
+            ) from e
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         hashed = (
@@ -227,28 +247,9 @@ def change_notification_sink(
                 # EXECUTOR-side delivery: a site-wide redesign can make the
                 # changed set round-sized-times-pages — collecting it to
                 # the driver would O(changes) the one process that must
-                # never OOM. deliver ships in the task closure and each
-                # partition posts its own rows.
-                #
-                # Delivery contract (at-least-once): a task retry or
-                # speculative attempt RE-DELIVERS the rows its partition
-                # already posted, so receivers must dedupe on
-                # (url_canon, round, new_hash). And because deliver runs in
-                # a pickled copy on the worker, a closure that mutates
-                # driver state (the old contract, e.g. list.append) would
-                # silently write to the copy — fail fast on unpicklable
-                # closures here instead of cryptically inside the task.
-                from pyspark import cloudpickle
-
-                try:
-                    cloudpickle.dumps(deliver)
-                except Exception as e:
-                    raise TypeError(
-                        "deliver must be picklable (it runs executor-side; "
-                        "driver-state closures are silently ineffective): "
-                        f"{e}"
-                    ) from e
-
+                # never OOM. deliver ships in the task closure (picklable,
+                # validated at sink construction above) and each partition
+                # posts its own rows; at-least-once, see construction note.
                 def _deliver_partition(rows) -> None:
                     for r in rows:
                         deliver(r.asDict())

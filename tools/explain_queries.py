@@ -12,18 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HEADLINE = [
-    "frontier_dequeue",
-    "url_seen_anti",
-    "lag_change_flag",
-    "run_counters",
-    "overview_join",
-    "text_norm_hash",
-    "minhash",
-    "simhash",
-    "embedding_topk",
-    "ngram_jaccard",
-]
+from bench import HEADLINE  # single source of truth for the timed set
 
 
 def main() -> None:
